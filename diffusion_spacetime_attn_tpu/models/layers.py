@@ -1,0 +1,207 @@
+"""Shared NN building blocks (flax.linen), NHWC layout, TPU numerics rules:
+normalizations and softmax in float32, matmuls in the configured compute
+dtype with float32 accumulation.
+
+Reference counterparts: `ldm/modules/attention.py:42-82,157-346` and
+`ldm/modules/diffusionmodules/openaimodel.py` (ResBlock, timestep_embedding).
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import SpatialControl, attention, spacetime_cross_attention
+
+
+def timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0):
+    """Sinusoidal embedding, cos-first (reference
+    `diffusionmodules/util.py` timestep_embedding)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = t.astype(jnp.float32)[:, None] * freqs[None]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+def norm_f32(norm, x):
+    """Apply a normalization module in float32, cast back to x.dtype."""
+    return norm(x.astype(jnp.float32)).astype(x.dtype)
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm(32) computed in float32 (reference GroupNorm32 /
+    `attention.py:81-82`)."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        gn = nn.GroupNorm(num_groups=32, epsilon=self.epsilon, dtype=jnp.float32)
+        return gn(x.astype(jnp.float32)).astype(x.dtype)
+
+
+class GEGLUFeedForward(nn.Module):
+    """GEGLU MLP (reference `attention.py:42-66`): proj to 2×(4·dim), gate
+    with gelu, project back."""
+
+    dim: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inner = self.dim * self.mult
+        h = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * jax.nn.gelu(gate, approximate=False)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(h)
+
+
+class CrossAttention(nn.Module):
+    """QKV projections + attention; no bias on q/k/v, bias on out
+    (reference `attention.py:157-215`)."""
+
+    query_dim: int
+    context_dim: Optional[int] = None
+    heads: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        inner = self.query_dim
+        self.to_q = nn.Dense(inner, use_bias=False, dtype=self.dtype)
+        self.to_k = nn.Dense(inner, use_bias=False, dtype=self.dtype)
+        self.to_v = nn.Dense(inner, use_bias=False, dtype=self.dtype)
+        self.to_out = nn.Dense(self.query_dim, dtype=self.dtype)
+
+    def __call__(self, x, context=None):
+        context = x if context is None else context
+        q = self.to_q(x)
+        k = self.to_k(context)
+        v = self.to_v(context)
+        out = attention(q, k, v, self.heads)
+        return self.to_out(out)
+
+    def controlled(self, x, context, control: Optional[SpatialControl], radius: float):
+        """Cross-attention with the spatial blend (cond rows only)."""
+        q = self.to_q(x)
+        k = self.to_k(context)
+        v = self.to_v(context)
+        local_kv = None
+        if control is not None:
+            lk = self.to_k(control.local_contexts)
+            lv = self.to_v(control.local_contexts)
+            local_kv = (lk, lv)
+        out = spacetime_cross_attention(
+            q, (k, v), local_kv, control, self.heads, radius
+        )
+        return self.to_out(out)
+
+
+class BasicTransformerBlock(nn.Module):
+    """Self-attn → controlled cross-attn → GEGLU FF, pre-LN residuals
+    (reference `attention.py:223-300`)."""
+
+    dim: int
+    heads: int
+    radius: float = 0.2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, control: Optional[SpatialControl] = None):
+        attn1 = CrossAttention(self.dim, heads=self.heads, dtype=self.dtype, name="attn1")
+        attn2 = CrossAttention(
+            self.dim, context_dim=context.shape[-1], heads=self.heads,
+            dtype=self.dtype, name="attn2",
+        )
+        norm1 = nn.LayerNorm(dtype=jnp.float32, name="norm1")
+        norm2 = nn.LayerNorm(dtype=jnp.float32, name="norm2")
+        norm3 = nn.LayerNorm(dtype=jnp.float32, name="norm3")
+        x = attn1(norm_f32(norm1, x)) + x
+        x = attn2.controlled(norm_f32(norm2, x), context, control, self.radius) + x
+        x = GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(
+            norm_f32(norm3, x)
+        ) + x
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """GroupNorm → 1×1 proj_in → transformer blocks over (H·W) tokens →
+    zero-init 1×1 proj_out, residual (reference `attention.py:303-346`)."""
+
+    channels: int
+    heads: int
+    depth: int = 1
+    radius: float = 0.2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, control=None):
+        B, H, W, C = x.shape
+        h = GroupNorm32(epsilon=1e-6, name="norm")(x)
+        h = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="proj_in")(h)
+        h = h.reshape(B, H * W, self.channels)
+        for d in range(self.depth):
+            h = BasicTransformerBlock(
+                self.channels, self.heads, radius=self.radius,
+                dtype=self.dtype, name=f"block_{d}",
+            )(h, context, control)
+        h = h.reshape(B, H, W, self.channels)
+        h = nn.Conv(
+            self.channels, (1, 1), kernel_init=nn.initializers.zeros,
+            dtype=self.dtype, name="proj_out",
+        )(h)
+        return x + h
+
+
+class ResBlock(nn.Module):
+    """UNet residual block with timestep-embedding injection
+    (reference `openaimodel.py` ResBlock)."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, emb):
+        h = GroupNorm32(name="in_norm")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype, name="in_conv")(h)
+        e = nn.Dense(self.out_channels, dtype=self.dtype, name="emb_proj")(
+            nn.silu(emb)
+        )
+        h = h + e[:, None, None, :]
+        h = GroupNorm32(name="out_norm")(h)
+        h = nn.silu(h)
+        h = nn.Conv(
+            self.out_channels, (3, 3), kernel_init=nn.initializers.zeros,
+            dtype=self.dtype, name="out_conv",
+        )(h)
+        if x.shape[-1] != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="skip")(x)
+        return x + h
+
+
+class Downsample(nn.Module):
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            self.channels, (3, 3), strides=(2, 2), dtype=self.dtype, name="conv"
+        )(x)
+
+
+class Upsample(nn.Module):
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+        return nn.Conv(self.channels, (3, 3), dtype=self.dtype, name="conv")(x)

@@ -1,0 +1,124 @@
+"""Attention ops: plain MHA and the spatial-control blended cross-attention.
+
+This is the TPU-native redesign of the paper's core mechanism
+(`ldm/modules/attention.py:268-300`).  The reference runs a Python loop over
+objects, calling the cross-attention module once per object per block and
+re-computing the unconditional row every time.  Here the per-object local
+attentions are one batched einsum over a stacked context axis (each context
+keeps its own softmax), and the region-masked blend is applied *before* the
+output projection — exact, because the per-pixel mask broadcasts over
+channels and therefore commutes with the channel-mixing linear, and the
+projection bias cancels inside the (local − uncond) difference.
+
+Semantics (per prompt, CFG pair (u, c), N objects, blend weights coef):
+
+    g_u   = attn(q_u, ctx_uncond)
+    g_c   = attn(q_c, ctx_cond)
+    loc_i = attn(q_c, ctx_local_i)                  (i = 1..N)
+    out_u = g_u
+    out_c = g_c + Σ_i mask_i ⊙ coef_i · (loc_i − g_u)
+
+which matches `attention.py:284-294` exactly (there stated post-projection).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .masks import flat_circular_mask
+
+
+class SpatialControl(NamedTuple):
+    """Per-prompt control state threaded through the UNet (pytree).
+
+    Replaces the reference's filesystem side channel
+    (`scripts/txt2img-gpt.py:320-323` / `attention.py:234,246`) and the
+    t==981 lazy mask init (`attention.py:240`): everything is an explicit,
+    fixed-shape operand.
+    """
+
+    local_contexts: jnp.ndarray  # [B, N, L, D] CLIP embeds of "a photo of <obj>"
+    centers: jnp.ndarray         # [B, N, 2] (x, y) in [0,1]
+    coef: jnp.ndarray            # [B, N] blend weights for this step
+    active: jnp.ndarray          # [B, N] 1.0 = real object, 0.0 = padding
+
+
+def attention(q, k, v, num_heads: int, *, out_dtype=None):
+    """Plain softmax attention.  q: [B, Lq, H*Dh], k/v: [B, Lk, H*Dh].
+
+    Softmax is computed in float32 regardless of input dtype (numerics rule
+    for bf16 TPU attention).
+    """
+    B, Lq, inner = q.shape
+    Lk = k.shape[-2]
+    dh = inner // num_heads
+    scale = dh ** -0.5
+    qh = q.reshape(B, Lq, num_heads, dh)
+    kh = k.reshape(B, Lk, num_heads, dh)
+    vh = v.reshape(B, Lk, num_heads, dh)
+    sim = jnp.einsum("bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32)
+    attn = jax.nn.softmax(sim * scale, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", attn.astype(vh.dtype), vh,
+        preferred_element_type=jnp.float32,
+    )
+    out = out.reshape(B, Lq, inner)
+    return out.astype(out_dtype or q.dtype)
+
+
+def multi_context_attention(q, k, v, num_heads: int):
+    """Attention of one query set against S stacked contexts, separate softmax
+    per context.  q: [B, Lq, H*Dh]; k/v: [B, S, Lk, H*Dh] → [B, S, Lq, H*Dh]."""
+    B, Lq, inner = q.shape
+    S, Lk = k.shape[1], k.shape[2]
+    dh = inner // num_heads
+    scale = dh ** -0.5
+    qh = q.reshape(B, Lq, num_heads, dh)
+    kh = k.reshape(B, S, Lk, num_heads, dh)
+    vh = v.reshape(B, S, Lk, num_heads, dh)
+    sim = jnp.einsum("bqhd,bskhd->bshqk", qh, kh, preferred_element_type=jnp.float32)
+    attn = jax.nn.softmax(sim * scale, axis=-1)
+    out = jnp.einsum(
+        "bshqk,bskhd->bsqhd", attn.astype(vh.dtype), vh,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(B, S, Lq, inner).astype(q.dtype)
+
+
+def spacetime_cross_attention(
+    q: jnp.ndarray,              # [2B, Lq, inner] queries, rows [0:B]=uncond, [B:2B]=cond
+    context_kv,                  # (k, v) each [2B, L, inner] from the CFG contexts
+    local_kv,                    # (k, v) each [B, N, L, inner] or None
+    control: Optional[SpatialControl],
+    num_heads: int,
+    radius: float,
+):
+    """Blended global+local cross-attention (pre-projection outputs).
+
+    Returns [2B, Lq, inner].  With control=None this is plain cross-attention
+    (the vanilla SD path, first-class unlike the reference's broken stock
+    path `ddpm.py:1005`).
+    """
+    k, v = context_kv
+    g = attention(q, k, v, num_heads)  # [2B, Lq, inner]
+    if control is None:
+        return g
+
+    B = q.shape[0] // 2
+    q_c = q[B:]
+    lk, lv = local_kv
+    N = lk.shape[1]
+    # [B, N, Lq, inner] — one softmax per (prompt, object)
+    loc = multi_context_attention(q_c, lk, lv, num_heads)
+
+    dim = int(round(q.shape[1] ** 0.5))
+    # [B, N, Lq] region masks, zeroed for padded objects
+    m = flat_circular_mask(control.centers, dim, radius, control.active)
+    w = m * control.coef[..., None]                     # [B, N, Lq]
+    g_u, g_c = g[:B], g[B:]
+    blend = jnp.einsum(
+        "bnq,bnqi->bqi", w.astype(loc.dtype), loc
+    ) - jnp.sum(w, axis=1)[..., None].astype(g_u.dtype) * g_u
+    return jnp.concatenate([g_u, g_c + blend], axis=0)

@@ -1,0 +1,5 @@
+from .ddim import ddim_sample
+from .plms import plms_sample
+from .dpm_solver import dpm_solver_sample
+
+__all__ = ["ddim_sample", "plms_sample", "dpm_solver_sample"]

@@ -1,0 +1,165 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusion_spacetime_attn_tpu.ops.attention import (
+    SpatialControl,
+    attention,
+    multi_context_attention,
+    spacetime_cross_attention,
+)
+from diffusion_spacetime_attn_tpu.ops.masks import flat_circular_mask
+
+
+def naive_attention(q, k, v, heads):
+    """Loop-over-heads oracle."""
+    B, Lq, inner = q.shape
+    dh = inner // heads
+    out = np.zeros((B, Lq, inner), np.float32)
+    for b in range(B):
+        for h in range(heads):
+            qs = q[b, :, h * dh : (h + 1) * dh]
+            ks = k[b, :, h * dh : (h + 1) * dh]
+            vs = v[b, :, h * dh : (h + 1) * dh]
+            sim = qs @ ks.T * dh ** -0.5
+            a = np.exp(sim - sim.max(-1, keepdims=True))
+            a /= a.sum(-1, keepdims=True)
+            out[b, :, h * dh : (h + 1) * dh] = a @ vs
+    return out
+
+
+def test_attention_matches_naive():
+    rng = np.random.RandomState(0)
+    q = rng.randn(2, 5, 8).astype(np.float32)
+    k = rng.randn(2, 7, 8).astype(np.float32)
+    v = rng.randn(2, 7, 8).astype(np.float32)
+    # interleaved head layout: reshape(B, L, H, dh) — oracle must match
+    B, L, inner, heads = 2, 5, 8, 2
+    got = np.asarray(attention(jnp.array(q), jnp.array(k), jnp.array(v), heads))
+    dh = inner // heads
+    expect = np.zeros_like(got)
+    for b in range(B):
+        qh = q[b].reshape(L, heads, dh)
+        kh = k[b].reshape(7, heads, dh)
+        vh = v[b].reshape(7, heads, dh)
+        for h in range(heads):
+            sim = qh[:, h] @ kh[:, h].T * dh ** -0.5
+            a = np.exp(sim - sim.max(-1, keepdims=True))
+            a /= a.sum(-1, keepdims=True)
+            expect[b].reshape(L, heads, dh)[:, h] = a @ vh[:, h]
+    np.testing.assert_allclose(got, expect, atol=1e-5)
+
+
+def test_multi_context_matches_stacked_plain():
+    rng = np.random.RandomState(1)
+    B, S, Lq, Lk, inner, heads = 2, 3, 6, 4, 8, 2
+    q = rng.randn(B, Lq, inner).astype(np.float32)
+    k = rng.randn(B, S, Lk, inner).astype(np.float32)
+    v = rng.randn(B, S, Lk, inner).astype(np.float32)
+    got = np.asarray(multi_context_attention(jnp.array(q), jnp.array(k), jnp.array(v), heads))
+    for s in range(S):
+        single = np.asarray(
+            attention(jnp.array(q), jnp.array(k[:, s]), jnp.array(v[:, s]), heads)
+        )
+        np.testing.assert_allclose(got[:, s], single, atol=1e-5)
+
+
+def test_spacetime_blend_matches_reference_loop():
+    """Oracle = direct replication of `attention.py:268-294` semantics
+    (per-object python loop, post-attention blend on the cond row)."""
+    rng = np.random.RandomState(2)
+    B, N, L, inner, heads = 2, 3, 77 // 7, 16, 4
+    dim = 8
+    Lq = dim * dim
+    q = rng.randn(2 * B, Lq, inner).astype(np.float32)
+    k = rng.randn(2 * B, L, inner).astype(np.float32)
+    v = rng.randn(2 * B, L, inner).astype(np.float32)
+    lk = rng.randn(B, N, L, inner).astype(np.float32)
+    lv = rng.randn(B, N, L, inner).astype(np.float32)
+    centers = rng.rand(B, N, 2).astype(np.float32)
+    coef = rng.rand(B, N).astype(np.float32)
+    active = np.array([[1, 1, 1], [1, 1, 0]], np.float32)
+    radius = 0.35
+
+    ctrl = SpatialControl(
+        local_contexts=jnp.zeros((B, N, L, inner)),  # unused: kv passed directly
+        centers=jnp.array(centers),
+        coef=jnp.array(coef),
+        active=jnp.array(active),
+    )
+    got = np.asarray(
+        spacetime_cross_attention(
+            jnp.array(q), (jnp.array(k), jnp.array(v)),
+            (jnp.array(lk), jnp.array(lv)), ctrl, heads, radius,
+        )
+    )
+
+    # oracle
+    g = naive_multi = np.asarray(attention(jnp.array(q), jnp.array(k), jnp.array(v), heads))
+    expect = g.copy()
+    masks = np.asarray(flat_circular_mask(jnp.array(centers), dim, radius))
+    for b in range(B):
+        for n in range(N):
+            if active[b, n] == 0:
+                continue
+            loc = np.asarray(
+                attention(
+                    jnp.array(q[B + b : B + b + 1]),
+                    jnp.array(lk[b, n : n + 1]),
+                    jnp.array(lv[b, n : n + 1]),
+                    heads,
+                )
+            )[0]
+            m = masks[b, n][:, None]
+            expect[B + b] += m * (coef[b, n] * loc - coef[b, n] * g[b])
+    np.testing.assert_allclose(got, expect, atol=1e-4)
+    # uncond rows untouched
+    np.testing.assert_allclose(got[:B], g[:B], atol=1e-6)
+
+
+def test_zero_coef_is_vanilla():
+    rng = np.random.RandomState(3)
+    B, N, L, inner, heads, dim = 1, 2, 5, 8, 2, 4
+    q = rng.randn(2 * B, dim * dim, inner).astype(np.float32)
+    k = rng.randn(2 * B, L, inner).astype(np.float32)
+    v = rng.randn(2 * B, L, inner).astype(np.float32)
+    lk = rng.randn(B, N, L, inner).astype(np.float32)
+    lv = rng.randn(B, N, L, inner).astype(np.float32)
+    ctrl = SpatialControl(
+        local_contexts=jnp.zeros((B, N, L, inner)),
+        centers=jnp.full((B, N, 2), 0.5),
+        coef=jnp.zeros((B, N)),
+        active=jnp.ones((B, N)),
+    )
+    with_ctrl = spacetime_cross_attention(
+        jnp.array(q), (jnp.array(k), jnp.array(v)), (jnp.array(lk), jnp.array(lv)),
+        ctrl, heads, 0.2,
+    )
+    vanilla = spacetime_cross_attention(
+        jnp.array(q), (jnp.array(k), jnp.array(v)), None, None, heads, 0.2
+    )
+    np.testing.assert_allclose(np.asarray(with_ctrl), np.asarray(vanilla), atol=1e-5)
+
+
+def test_grad_flows_to_coef():
+    rng = np.random.RandomState(4)
+    B, N, L, inner, heads, dim = 1, 2, 5, 8, 2, 4
+    q = jnp.array(rng.randn(2 * B, dim * dim, inner), jnp.float32)
+    k = jnp.array(rng.randn(2 * B, L, inner), jnp.float32)
+    v = jnp.array(rng.randn(2 * B, L, inner), jnp.float32)
+    lk = jnp.array(rng.randn(B, N, L, inner), jnp.float32)
+    lv = jnp.array(rng.randn(B, N, L, inner), jnp.float32)
+
+    def loss(coef):
+        ctrl = SpatialControl(
+            local_contexts=jnp.zeros((B, N, L, inner)),
+            centers=jnp.full((B, N, 2), 0.5),
+            coef=coef,
+            active=jnp.ones((B, N)),
+        )
+        out = spacetime_cross_attention(q, (k, v), (lk, lv), ctrl, heads, 0.2)
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(jnp.ones((B, N)))
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert np.any(np.asarray(g) != 0)

@@ -1,0 +1,114 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusion_spacetime_attn_tpu.config import ScheduleConfig
+from diffusion_spacetime_attn_tpu.ops.schedule import make_schedule
+from diffusion_spacetime_attn_tpu.samplers import (
+    ddim_sample,
+    dpm_solver_sample,
+    plms_sample,
+)
+
+SCHED = make_schedule(ScheduleConfig(), 20)
+SHAPE = (1, 4, 4, 2)
+
+
+def zero_eps(x, t, i):
+    return jnp.zeros_like(x)
+
+
+def linear_eps(x, t, i):
+    # a well-behaved fake score: eps proportional to x with a t-dependent gain
+    return 0.1 * x * (t.astype(jnp.float32) / 1000.0 + 0.5)
+
+
+def test_ddim_zero_eps_telescopes():
+    x0 = jnp.ones(SHAPE)
+    out = ddim_sample(zero_eps, x0, SCHED, remat=False)
+    # with eps=0, each step multiplies by sqrt(a_prev/a_t); product telescopes
+    factor = np.prod(np.sqrt(np.asarray(SCHED.alphas_prev) / np.asarray(SCHED.alphas)))
+    np.testing.assert_allclose(np.asarray(out), factor, rtol=1e-4)
+
+
+def test_dpm1_equals_ddim():
+    x0 = jnp.array(np.random.RandomState(0).randn(*SHAPE), jnp.float32)
+    a = ddim_sample(linear_eps, x0, SCHED, remat=False)
+    b = dpm_solver_sample(linear_eps, x0, SCHED, order=1, remat=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_plms_runs_and_is_close_to_ddim_on_smooth_eps():
+    x0 = jnp.array(np.random.RandomState(1).randn(*SHAPE), jnp.float32)
+    a = np.asarray(ddim_sample(linear_eps, x0, SCHED, remat=False))
+    p = np.asarray(plms_sample(linear_eps, x0, SCHED, remat=False))
+    d = np.asarray(dpm_solver_sample(linear_eps, x0, SCHED, order=2, remat=False))
+    assert np.all(np.isfinite(p)) and np.all(np.isfinite(d))
+    # higher-order methods agree with DDIM to first order on a smooth field
+    assert np.abs(p - a).max() < 0.15 * np.abs(a).max()
+    assert np.abs(d - a).max() < 0.15 * np.abs(a).max()
+
+
+def test_plms_matches_reference_step_arithmetic():
+    """Replicate `plms.py:296-358` in numpy for 5 steps and compare."""
+    sched = make_schedule(ScheduleConfig(), 5)
+    rng = np.random.RandomState(2)
+    x = rng.randn(*SHAPE).astype(np.float32)
+
+    W = rng.randn(1).astype(np.float32)[0] * 0.05
+
+    def eps_np(x, t):
+        return W * x * (t / 1000.0 + 0.5)
+
+    al = np.asarray(sched.alphas)
+    alp = np.asarray(sched.alphas_prev)
+    s1m = np.asarray(sched.sqrt_one_minus_alphas)
+    ts = np.asarray(sched.timesteps)
+    tsn = np.asarray(sched.timesteps_next)
+
+    def step(x, e, i):
+        pred_x0 = (x - s1m[i] * e) / np.sqrt(al[i])
+        return np.sqrt(alp[i]) * pred_x0 + np.sqrt(1 - alp[i]) * e
+
+    old = []
+    cur = x.copy()
+    for i in range(5):
+        e = eps_np(cur, ts[i])
+        if len(old) == 0:
+            x_mid = step(cur, e, i)
+            e_next = eps_np(x_mid, tsn[i])
+            e_prime = (e + e_next) / 2
+        elif len(old) == 1:
+            e_prime = (3 * e - old[-1]) / 2
+        elif len(old) == 2:
+            e_prime = (23 * e - 16 * old[-1] + 5 * old[-2]) / 12
+        else:
+            e_prime = (55 * e - 59 * old[-1] + 37 * old[-2] - 9 * old[-3]) / 24
+        cur = step(cur, e_prime, i)
+        old.append(e)
+        if len(old) > 3:
+            old.pop(0)
+
+    def eps_fn(x, t, i):
+        return W * x * (t.astype(jnp.float32) / 1000.0 + 0.5)
+
+    got = np.asarray(plms_sample(eps_fn, jnp.array(x), sched, remat=False))
+    np.testing.assert_allclose(got, cur, rtol=1e-4, atol=1e-5)
+
+
+def test_grad_through_plms_with_remat():
+    x0 = jnp.array(np.random.RandomState(3).randn(*SHAPE), jnp.float32)
+
+    def loss(w):
+        def eps_fn(x, t, i):
+            return w[i] * x
+
+        out = plms_sample(eps_fn, x0, SCHED, remat=True)
+        return jnp.sum(out ** 2)
+
+    w = jnp.full((SCHED.num_steps,), 0.05)
+    val, grad = jax.value_and_grad(loss)(w)
+    assert np.isfinite(float(val))
+    g = np.asarray(grad)
+    assert np.all(np.isfinite(g))
+    assert np.any(g != 0)
