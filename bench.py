@@ -1,0 +1,143 @@
+"""Benchmark: 512² txt2img at 50-step PLMS on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "img/min/chip", "vs_baseline": N}
+
+Baseline note: the reference publishes no throughput numbers (SURVEY §6).
+`vs_baseline` is computed against an assumed GPU reference of 12 img/min
+(≈5 s per 512² 50-step PLMS image on the reference's single-GPU setup —
+A100-class; `BASELINE.md` north star is ≥5× that per chip).
+
+Modes:
+  vanilla   — stock SD txt2img (primary metric)
+  spatial   — with spatial control (4 objects, fixed weights)
+  spacetime — one full optimization epoch (forward+backward through chain)
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+
+GPU_REFERENCE_IMG_PER_MIN = 12.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--mode", choices=["vanilla", "spatial", "spacetime"], default="vanilla")
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--batch", type=int, default=1, help="prompts per step")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffusion_spacetime_attn_tpu.config import (
+        PipelineConfig,
+        ScheduleConfig,
+        SpaceTimeConfig,
+        UNetConfig,
+        VAEConfig,
+    )
+    from diffusion_spacetime_attn_tpu.ops.attention import SpatialControl
+    from diffusion_spacetime_attn_tpu.ops.schedule import make_schedule
+    from diffusion_spacetime_attn_tpu.pipeline.pipeline import StableDiffusion
+    from diffusion_spacetime_attn_tpu.utils.testing import randomize_params
+
+    cfg = PipelineConfig(
+        unet=UNetConfig(dtype=args.dtype),
+        vae=VAEConfig(dtype=args.dtype),
+        spacetime=SpaceTimeConfig(num_steps=args.steps),
+    )
+    sd = StableDiffusion.create(cfg, jax.random.PRNGKey(0))
+    sd = dataclasses.replace(
+        sd,
+        unet_params=randomize_params(sd.unet_params, jax.random.PRNGKey(1)),
+        vae_params=randomize_params(sd.vae_params, jax.random.PRNGKey(2)),
+    )
+    sd = dataclasses.replace(
+        sd, schedule=make_schedule(cfg.schedule, args.steps)
+    )
+
+    B, N, L, D = args.batch, 4, 77, cfg.unet.context_dim
+    rng = np.random.RandomState(0)
+    cond = jnp.array(rng.randn(B, L, D), jnp.float32) * 0.02
+    uncond = jnp.array(rng.randn(B, L, D), jnp.float32) * 0.02
+
+    control = None
+    coef = None
+    if args.mode in ("spatial", "spacetime"):
+        control = SpatialControl(
+            local_contexts=jnp.array(rng.randn(B, N, L, D), jnp.float32) * 0.02,
+            centers=jnp.array(rng.rand(B, N, 2), jnp.float32),
+            coef=jnp.full((B, N), 1.25, jnp.float32),
+            active=jnp.ones((B, N), jnp.float32),
+        )
+        coef = jnp.full((B, N, args.steps), 1.25, jnp.float32)
+
+    import dataclasses as dc
+
+    # params go in as jit ARGUMENTS (closing over them bakes GBs of
+    # constants into the executable and bloats compile time)
+    params = (sd.unet_params, sd.vae_params)
+
+    if args.mode == "spacetime":
+        def run(ps, rng_key, coef):
+            s = dc.replace(sd, unet_params=ps[0], vae_params=ps[1])
+            eps_fn = s.make_eps_fn(cond, uncond, 7.5, control, coef)
+            z = s.sample_from(eps_fn, jax.random.normal(
+                rng_key, (B, 64, 64, 4), jnp.float32), "plms", remat=True)
+            img = s.decode_latents(z)
+            return jnp.sum(img)
+
+        fn = jax.jit(jax.value_and_grad(run, argnums=2))
+        call = lambda k: fn(params, k, coef)
+    else:
+        def run(ps, rng_key):
+            s = dc.replace(sd, unet_params=ps[0], vae_params=ps[1])
+            eps_fn = s.make_eps_fn(cond, uncond, 7.5, control, coef)
+            z = s.sample_from(eps_fn, jax.random.normal(
+                rng_key, (B, 64, 64, 4), jnp.float32), "plms", remat=False)
+            return s.decode_latents(z)
+
+        fn = jax.jit(run)
+        call = lambda k: fn(params, k)
+
+    key = jax.random.PRNGKey(0)
+    t0 = time.perf_counter()
+    jax.block_until_ready(call(key))
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    for i in range(args.iters):
+        k = jax.random.PRNGKey(i + 1)
+        t0 = time.perf_counter()
+        jax.block_until_ready(call(k))
+        times.append(time.perf_counter() - t0)
+
+    per_image = min(times) / B
+    value = 60.0 / per_image
+    print(
+        json.dumps(
+            {
+                "metric": f"512px_images_per_min_per_chip_plms{args.steps}_{args.mode}",
+                "value": round(value, 3),
+                "unit": "img/min/chip",
+                "vs_baseline": round(value / GPU_REFERENCE_IMG_PER_MIN, 3),
+            }
+        )
+    )
+    import sys
+    print(
+        f"# per-image {per_image:.3f}s, compile {compile_s:.1f}s, "
+        f"times {['%.3f' % t for t in times]}, device {jax.devices()[0]}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -118,9 +118,9 @@ class BasicTransformerBlock(nn.Module):
             self.dim, context_dim=context.shape[-1], heads=self.heads,
             dtype=self.dtype, name="attn2",
         )
-        norm1 = nn.LayerNorm(dtype=jnp.float32, name="norm1")
-        norm2 = nn.LayerNorm(dtype=jnp.float32, name="norm2")
-        norm3 = nn.LayerNorm(dtype=jnp.float32, name="norm3")
+        norm1 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")
+        norm2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")
+        norm3 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")
         x = attn1(norm_f32(norm1, x)) + x
         x = attn2.controlled(norm_f32(norm2, x), context, control, self.radius) + x
         x = GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(
@@ -191,8 +191,11 @@ class Downsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # torch Conv2d(stride=2, padding=1) pads (1,1); flax SAME would pad
+        # (0,1) at stride 2 — must be explicit for weight parity
         return nn.Conv(
-            self.channels, (3, 3), strides=(2, 2), dtype=self.dtype, name="conv"
+            self.channels, (3, 3), strides=(2, 2),
+            padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv",
         )(x)
 
 

@@ -1,0 +1,222 @@
+"""Golden-parity tests: our flax models vs torch oracles with converted
+random weights.
+
+- CLIP text / RoBERTa: oracles from `transformers` (CPU).
+- UNet / VAE: oracles are the *reference implementation itself* imported
+  read-only from /root/reference at tiny scale (skipped if unavailable).
+"""
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from diffusion_spacetime_attn_tpu.config import LayoutConfig, CLIPTextConfig, UNetConfig, VAEConfig
+from diffusion_spacetime_attn_tpu.utils import convert
+
+REF_SD = "/root/reference/attention_optimization/stable-diffusion"
+
+ATOL = 2e-4
+
+
+def to_np(sd):
+    return {k: v.detach().float().numpy() for k, v in sd.items()}
+
+
+def test_clip_text_parity_vs_transformers():
+    from transformers import CLIPTextConfig as HFCfg, CLIPTextModel
+
+    hf_cfg = HFCfg(
+        vocab_size=100, hidden_size=32, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=2, max_position_embeddings=16,
+        hidden_act="quick_gelu",
+    )
+    torch.manual_seed(0)
+    hf = CLIPTextModel(hf_cfg).eval()
+    tokens = np.array([[5, 17, 3, 99, 2, 1, 0, 4]], np.int64)
+    with torch.no_grad():
+        expect = hf(torch.from_numpy(tokens)).last_hidden_state.numpy()
+
+    cfg = CLIPTextConfig(vocab_size=100, width=32, layers=2, heads=2, max_len=16)
+    from diffusion_spacetime_attn_tpu.models.clip import CLIPTextTower
+
+    tower = CLIPTextTower(cfg)
+    params = convert.convert_hf_clip_text(to_np(hf.state_dict()))
+    hidden, pooled = tower.apply({"params": params}, jnp.array(tokens, jnp.int32))
+    np.testing.assert_allclose(np.asarray(hidden), expect, atol=ATOL)
+    # EOT pooling = hidden state at argmax token id
+    np.testing.assert_allclose(
+        np.asarray(pooled), expect[np.arange(1), tokens.argmax(-1)], atol=ATOL
+    )
+
+
+def test_roberta_parity_vs_transformers():
+    from transformers import RobertaConfig, RobertaModel
+
+    hf_cfg = RobertaConfig(
+        vocab_size=120, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=40, pad_token_id=1, type_vocab_size=1,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(0)
+    hf = RobertaModel(hf_cfg, add_pooling_layer=False).eval()
+    tokens = np.array([[0, 7, 23, 45, 9, 2, 1, 1]], np.int64)  # trailing pads
+    with torch.no_grad():
+        expect = hf(
+            torch.from_numpy(tokens),
+            attention_mask=torch.from_numpy((tokens != 1).astype(np.int64)),
+        ).last_hidden_state.numpy()
+
+    cfg = LayoutConfig(
+        vocab_size=120, hidden=32, layers=2, heads=2, ffn_dim=64,
+        max_positions=40, max_len=8,
+    )
+    from diffusion_spacetime_attn_tpu.models.layout.roberta import RobertaBackbone
+
+    model = RobertaBackbone(cfg)
+    params = convert.convert_hf_roberta(to_np(hf.state_dict()))
+    got = np.asarray(model.apply({"params": params}, jnp.array(tokens, jnp.int32)))
+    mask = tokens[0] != 1
+    np.testing.assert_allclose(got[0, mask], expect[0, mask], atol=ATOL)
+
+
+@pytest.fixture(scope="module")
+def reference_path(tmp_path_factory):
+    if not os.path.isdir(REF_SD):
+        pytest.skip("reference checkout not available")
+    # the reference BasicTransformerBlock torch.loads this file at __init__
+    d = tmp_path_factory.mktemp("refcwd")
+    torch.save(torch.zeros(1, 77, 768), d / "uncond_fix_radius_0p2_g0.pt")
+    # the reference imports torchvision only for a debug helper; stub it
+    import types
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.io = types.SimpleNamespace(write_png=lambda *a, **k: None)
+        sys.modules["torchvision"] = tv
+    if "omegaconf" not in sys.modules:
+        oc = types.ModuleType("omegaconf")
+        lc = types.ModuleType("omegaconf.listconfig")
+
+        class ListConfig(list):
+            pass
+
+        lc.ListConfig = ListConfig
+        oc.listconfig = lc
+        sys.modules["omegaconf"] = oc
+        sys.modules["omegaconf.listconfig"] = lc
+    sys.path.insert(0, REF_SD)
+    cwd = os.getcwd()
+    os.chdir(d)
+    yield d
+    os.chdir(cwd)
+    sys.path.remove(REF_SD)
+
+
+def test_unet_parity_vs_reference(reference_path):
+    """Full-architecture parity at tiny scale against the reference
+    `UNetModel` (`ldm/modules/diffusionmodules/openaimodel.py:413-742`),
+    vanilla path (no objects)."""
+    from ldm.modules.diffusionmodules.openaimodel import UNetModel
+
+    torch.manual_seed(0)
+    ref = UNetModel(
+        image_size=16, in_channels=4, out_channels=4, model_channels=32,
+        attention_resolutions=[1, 2], num_res_blocks=1, channel_mult=[1, 2],
+        num_heads=2, use_spatial_transformer=True, transformer_depth=1,
+        context_dim=16, use_checkpoint=False, legacy=False,
+    ).eval()
+    # randomize zero-init convs so parity is non-trivial
+    with torch.no_grad():
+        for n, p in ref.named_parameters():
+            if p.abs().sum() == 0:
+                p.normal_(0, 0.02)
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 4, 16, 16).astype(np.float32)
+    ctx = rng.randn(2, 7, 16).astype(np.float32)
+    t = torch.full((2,), 981, dtype=torch.long)
+    with torch.no_grad():
+        expect = ref(
+            torch.from_numpy(x), text_index=None, timesteps=t,
+            context=torch.from_numpy(ctx), coef=[], bboxs_curr=[],
+        ).numpy()
+
+    cfg = UNetConfig(
+        model_channels=32, channel_mult=(1, 2), num_res_blocks=1,
+        attention_resolutions=(1, 2), num_heads=2, context_dim=16,
+    )
+    from diffusion_spacetime_attn_tpu.models.unet import UNet
+
+    unet = UNet(cfg)
+    params = convert.convert_sd_unet(
+        to_np(ref.state_dict()), prefix="",
+        channel_mult=(1, 2), num_res_blocks=1, attention_ds=(1, 2),
+    )
+    got = unet.apply(
+        {"params": params},
+        jnp.array(np.transpose(x, (0, 2, 3, 1))),
+        jnp.full((2,), 981, jnp.int32),
+        jnp.array(ctx),
+    )
+    got = np.transpose(np.asarray(got), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, expect, atol=5e-4)
+
+
+def test_vae_decoder_parity_vs_reference(reference_path):
+    """Decoder parity vs reference `ldm/modules/diffusionmodules/model.py`."""
+    from ldm.modules.diffusionmodules.model import Decoder
+
+    ddconfig = dict(
+        double_z=True, z_channels=4, resolution=32, in_channels=3, out_ch=3,
+        ch=32, ch_mult=[1, 2], num_res_blocks=1, attn_resolutions=[],
+        dropout=0.0,
+    )
+    torch.manual_seed(1)
+    ref_dec = Decoder(**ddconfig).eval()
+    post_quant = torch.nn.Conv2d(4, 4, 1)
+
+    rng = np.random.RandomState(1)
+    z = rng.randn(1, 4, 8, 8).astype(np.float32)
+    with torch.no_grad():
+        expect = ref_dec(post_quant(torch.from_numpy(z))).numpy()
+
+    sd = {f"decoder.{k}": v for k, v in ref_dec.state_dict().items()}
+    sd.update({f"post_quant_conv.{k}": v for k, v in post_quant.state_dict().items()})
+    # encoder/quant_conv keys are required by the converter; synthesize from a
+    # matching torch Encoder
+    from ldm.modules.diffusionmodules.model import Encoder
+
+    ref_enc = Encoder(**ddconfig).eval()
+    sd.update({f"encoder.{k}": v for k, v in ref_enc.state_dict().items()})
+    quant = torch.nn.Conv2d(8, 8, 1)
+    sd.update({f"quant_conv.{k}": v for k, v in quant.state_dict().items()})
+
+    cfg = VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1)
+    from diffusion_spacetime_attn_tpu.models.vae import AutoencoderKL
+
+    vae = AutoencoderKL(cfg)
+    params = convert.convert_sd_vae(to_np(sd), prefix="", ch_mult=(1, 2), num_res_blocks=1)
+    got = vae.apply(
+        {"params": params},
+        jnp.array(np.transpose(z, (0, 2, 3, 1))),
+        method=AutoencoderKL.decode,
+    )
+    got = np.transpose(np.asarray(got), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, expect, atol=5e-4)
+
+    # encoder parity too
+    x = rng.randn(1, 3, 16, 16).astype(np.float32)
+    with torch.no_grad():
+        moments = quant(ref_enc(torch.from_numpy(x))).numpy()
+    mean, logvar = vae.apply(
+        {"params": params},
+        jnp.array(np.transpose(x, (0, 2, 3, 1))),
+        method=AutoencoderKL.encode_moments,
+    )
+    got_m = np.transpose(np.asarray(mean), (0, 3, 1, 2))
+    np.testing.assert_allclose(got_m, moments[:, :4], atol=5e-4)
