@@ -1,0 +1,143 @@
+"""Evaluation protocol: object recall, relation accuracy, CLIP fidelity.
+
+Reference: `evaluation/detector_result_*.py` (object recall: a GT object
+name appears among detected category names, conf ≥ 0.4) and
+`evaluation/relation_result_*.py` (relation accuracy: box-center geometry,
+conf ≥ 0.5, `relation_result_gpt.py:95-110`).  The detector itself (detrex
+DINO-Swin-L) is an external GPU dependency in the reference and stays
+external here — `Detection` is the interchange type; any detector (detrex
+via `run_detrex_folder`, or the self-contained CLIP scorer below) can fill
+it.  The protocol math is pure and unit-tested.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Detection:
+    box: Tuple[float, float, float, float]  # x1, y1, x2, y2
+    category: str
+    score: float
+
+
+def relation_pass(
+    relation: str, object1_pos: Sequence[float], object2_pos: Sequence[float]
+) -> bool:
+    """Center-geometry check (exact reference semantics,
+    `relation_result_gpt.py:95-110`)."""
+    assert relation in ("below", "left of", "right of", "above")
+    x1 = (object1_pos[0] + object1_pos[2]) / 2
+    y1 = (object1_pos[1] + object1_pos[3]) / 2
+    x2 = (object2_pos[0] + object2_pos[2]) / 2
+    y2 = (object2_pos[1] + object2_pos[3]) / 2
+    if relation == "below":
+        return y1 > y2
+    if relation == "left of":
+        return x1 < x2
+    if relation == "right of":
+        return x1 > x2
+    return y1 < y2
+
+
+def object_recall(
+    detections_per_image: List[List[Detection]],
+    gt_objects_per_image: List[List[str]],
+    conf: float = 0.4,
+) -> Tuple[int, int, float]:
+    """(correct, total, recall): GT object name ∈ detected category names
+    (`detector_result_gpt.py:151-166`)."""
+    corr = cnt = 0
+    for dets, gts in zip(detections_per_image, gt_objects_per_image):
+        names = {d.category for d in dets if d.score >= conf}
+        for g in gts:
+            cnt += 1
+            if g in names:
+                corr += 1
+    return corr, cnt, corr / cnt if cnt else 0.0
+
+
+def relation_accuracy(
+    detections_per_image: List[List[Detection]],
+    gt_relations_per_image: List[List[Tuple[str, str, str]]],  # (obj1, obj2, rel)
+    conf: float = 0.5,
+) -> Tuple[int, int, float]:
+    """For each GT (obj1, obj2, rel): both objects detected and the first
+    detected pair's centers satisfy the relation
+    (`relation_result_vsr.py:195-219`)."""
+    corr = cnt = 0
+    for dets, rels in zip(detections_per_image, gt_relations_per_image):
+        dets = [d for d in dets if d.score >= conf]
+        by_cat: Dict[str, List[Detection]] = {}
+        for d in dets:
+            by_cat.setdefault(d.category, []).append(d)
+        for o1, o2, rel in rels:
+            cnt += 1
+            if o1 in by_cat and o2 in by_cat:
+                d1 = max(by_cat[o1], key=lambda d: d.score)
+                d2 = max(by_cat[o2], key=lambda d: d.score)
+                if relation_pass(rel, d1.box, d2.box):
+                    corr += 1
+    return corr, cnt, corr / cnt if cnt else 0.0
+
+
+def parse_gpt_ground_truth(path: str) -> Tuple[List[List[str]], List[List[Tuple[str, str, str]]]]:
+    """GT objects + relations from `datasets/gpt.txt`
+    (`detector_result_gpt.py:119-134`; objects keep only the category head
+    noun — the last word of each 'adjective category' phrase)."""
+    with open(path) as f:
+        rows = f.read().split("\n")[:2000]
+    objects, relations = [], []
+    for i in range(len(rows) // 4):
+        objs = [o.strip() for o in rows[4 * i][9:].split(",")]
+        # strip adjectives: keep the trailing category words that match
+        from ..pipeline.frontend import COCO_CATEGORIES
+
+        clean = []
+        for o in objs:
+            low = o.lower()
+            match = None
+            for cat in sorted(COCO_CATEGORIES, key=len, reverse=True):
+                if low.endswith(cat):
+                    match = cat
+                    break
+            clean.append(match or low.split()[-1])
+        objects.append(clean)
+        rel_line = rows[4 * i + 1][10:]
+        rel = None
+        for r in ("left of", "right of", "above", "below"):
+            if f" {r} " in rel_line:
+                a, _, b = rel_line.partition(f" {r} ")
+                first_is_0 = a.strip().lower().endswith(clean[0])
+                rel = (
+                    clean[0] if first_is_0 else clean[-1],
+                    clean[-1] if first_is_0 else clean[0],
+                    r,
+                )
+                break
+        relations.append([rel] if rel else [])
+    return objects, relations
+
+
+def result_index(filename: str) -> Optional[int]:
+    """prompt index from `final2_s1_index_{i}.png` naming."""
+    m = re.match(r"final\d+_s\d+_index_(\d+)\.png$", os.path.basename(filename))
+    return int(m.group(1)) if m else None
+
+
+# ----------------------------------------------------------------------
+# CLIP fidelity score (self-contained TPU metric; BASELINE.md parity axis)
+# ----------------------------------------------------------------------
+
+def clip_scores(clip_loss, images01: np.ndarray, token_batches: np.ndarray):
+    """Mean cosine similarity between CLIP(global-resized image) and
+    CLIP(caption) — 1 − the optimization's global loss term."""
+    import jax.numpy as jnp
+
+    loss = clip_loss.global_loss(jnp.asarray(images01), jnp.asarray(token_batches))
+    return 1.0 - np.asarray(loss)

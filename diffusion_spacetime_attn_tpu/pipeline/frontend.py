@@ -1,0 +1,174 @@
+"""Host-side text frontend: object mention extraction + layout inference.
+
+Reference: `inference/inference_coco.py:436-544` — spaCy noun chunks,
+filtered by `check_in_mscoco` (a COCO category name appearing as a substring
+of the phrase — the WordNet-synonym/plural set is built there but never
+consulted by the check), the chunk's root-word index aligned to a RoBERTa
+BPE token, and the GMM head's (x, y) read at that token.
+
+TPU-native split: everything here is pure host Python producing fixed-shape
+arrays; the device program (`LayoutPredictor`) is jitted separately.  spaCy
+is used when importable; otherwise a deterministic n-gram matcher finds
+category mentions (the reference's substring rule is itself n-gram-like, so
+results agree on the benchmark prompt sets' simple NPs).
+"""
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# The 80 COCO category names (public; the reference unpickles the same list
+# from `data/coco/category_dict.pkl`).
+COCO_CATEGORIES = [
+    "person", "bicycle", "car", "motorcycle", "airplane", "bus", "train",
+    "truck", "boat", "traffic light", "fire hydrant", "stop sign",
+    "parking meter", "bench", "bird", "cat", "dog", "horse", "sheep", "cow",
+    "elephant", "bear", "zebra", "giraffe", "backpack", "umbrella", "handbag",
+    "tie", "suitcase", "frisbee", "skis", "snowboard", "sports ball", "kite",
+    "baseball bat", "baseball glove", "skateboard", "surfboard",
+    "tennis racket", "bottle", "wine glass", "cup", "fork", "knife", "spoon",
+    "bowl", "banana", "apple", "sandwich", "orange", "broccoli", "carrot",
+    "hot dog", "pizza", "donut", "cake", "chair", "couch", "potted plant",
+    "bed", "dining table", "toilet", "tv", "laptop", "mouse", "remote",
+    "keyboard", "cell phone", "microwave", "oven", "toaster", "sink",
+    "refrigerator", "book", "clock", "vase", "scissors", "teddy bear",
+    "hair drier", "toothbrush",
+]
+
+
+def _plural_forms(word: str) -> List[str]:
+    if word.endswith(("s", "x", "z", "ch", "sh")):
+        return [word + "es"]
+    if word.endswith("y") and word[-2] not in "aeiou":
+        return [word[:-1] + "ies"]
+    return [word + "s"]
+
+
+@dataclasses.dataclass
+class ObjectMention:
+    phrase: str       # the noun phrase as found (e.g. "the silver bed")
+    category: str     # matched COCO category
+    word_index: int   # index of the category's head word in the word list
+
+
+def simple_words(sentence: str) -> List[str]:
+    return re.findall(r"\w+|[^\w\s]", sentence)
+
+
+def extract_objects(
+    sentence: str, categories: Sequence[str] = COCO_CATEGORIES
+) -> Tuple[List[str], List[ObjectMention]]:
+    """Find COCO-category mentions.  Uses spaCy noun chunks when available
+    (reference behavior); otherwise matches category n-grams (incl. simple
+    plurals) directly over the word sequence."""
+    sentence = sentence.strip()
+    try:  # reference path
+        import spacy
+
+        nlp = getattr(extract_objects, "_nlp", None)
+        if nlp is None:
+            nlp = spacy.load("en_core_web_sm")
+            extract_objects._nlp = nlp
+        doc = nlp(sentence)
+        words = [t.text for t in doc]
+        mentions = []
+        for chunk in doc.noun_chunks:
+            low = chunk.text.lower()
+            for cat in categories:
+                if cat in low:
+                    mentions.append(ObjectMention(chunk.text, cat, chunk.root.i))
+                    break
+        return words, mentions
+    except Exception:
+        pass
+
+    words = simple_words(sentence)
+    low = [w.lower() for w in words]
+    taken = set()
+    mentions = []
+    # longest categories first so "wine glass" wins over "glass"-less "cup"
+    for cat in sorted(categories, key=len, reverse=True):
+        cat_words = cat.split()
+        variants = [cat_words]
+        variants += [cat_words[:-1] + [p] for p in _plural_forms(cat_words[-1])]
+        n = len(cat_words)
+        for i in range(len(low) - n + 1):
+            if any(low[i : i + n] == v for v in variants):
+                span = set(range(i, i + n))
+                if span & taken:
+                    continue
+                taken |= span
+                head = i + n - 1
+                # include leading adjectives/determiner in the phrase, like a
+                # noun chunk would
+                start = i
+                while start > 0 and re.fullmatch(r"[A-Za-z]+", words[start - 1]) and \
+                        low[start - 1] not in {"of", "and", "with", "on", "in", "at"}:
+                    start -= 1
+                    if low[start] in {"the", "a", "an"}:
+                        break
+                phrase = " ".join(words[start : i + n])
+                mentions.append(ObjectMention(phrase, cat, head))
+    mentions.sort(key=lambda m: m.word_index)
+    return words, mentions
+
+
+def local_prompt(mention: ObjectMention) -> str:
+    """Per-object local description (reference `plms.py:267-270`:
+    lowercase, strip "the ", prefix "A photo of ")."""
+    name = mention.phrase.lower().replace("the ", "")
+    return "A photo of " + name
+
+
+class LayoutInference:
+    """`inference_sentence` equivalent: sentence → {phrase: (x, y)}.
+
+    Bundles the jitted LayoutPredictor forward with the host frontend and a
+    word-aligned tokenizer (reference `inference_coco.py:486-544`).
+    """
+
+    def __init__(self, model, params, tokenizer, max_len: int = 128):
+        self.model = model
+        self.params = params
+        self.tokenizer = tokenizer
+        self.max_len = max_len
+        self._jit_forward = jax.jit(
+            lambda params, tokens, object_pos: model.apply(
+                {"params": params}, tokens, object_pos,
+                method=type(model).predict_xy,
+            )
+        )
+
+    def __call__(self, sentence: str) -> Optional[Dict[str, List[float]]]:
+        words, mentions = extract_objects(sentence)
+        if not mentions:
+            return None
+        ids, align = self.tokenizer.encode_with_alignment(words)
+        tokens = np.asarray(
+            self.tokenizer.pad_to(ids, self.max_len), np.int32
+        )[None]
+        object_pos = np.zeros((1, self.max_len), np.float32)
+        tok_idx = []
+        for m in mentions:
+            if m.word_index >= len(align) or align[m.word_index] >= self.max_len:
+                return None
+            t = align[m.word_index]
+            object_pos[0, t] = 1.0
+            tok_idx.append(t)
+        xy, _ = self._jit_forward(self.params, jnp.array(tokens), jnp.array(object_pos))
+        xy = np.asarray(xy)[0]
+        return {m.phrase: [float(xy[t, 0]), float(xy[t, 1])] for m, t in zip(mentions, tok_idx)}
+
+    def mentions_and_centers(self, sentence: str):
+        """Like __call__ but returns (mentions, centers[N,2]) for pipelines."""
+        res = self(sentence)
+        if res is None:
+            return None
+        _, mentions = extract_objects(sentence)
+        centers = np.array(list(res.values()), np.float32)
+        return mentions, centers

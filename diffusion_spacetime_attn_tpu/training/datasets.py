@@ -1,0 +1,153 @@
+"""Layout-predictor dataset pipeline → fixed-shape `LayoutBatch` arrays.
+
+Reference: `loader/COCODataset.py` `COCORelDataset` — a 2×2000-sample epoch:
+first half GPT-3 synthetic captions with relation triples (hinge-loss
+supervision), second half real COCO captions with absolute (x, y) GT
+(GMM-NLL supervision).  The COCO half needs
+`parsed_caption_label_dict.pkl`, a blob missing from the reference
+(`.MISSING_LARGE_BLOBS:5`), so it is gated on file presence here too.
+
+The reference materializes ragged Python lists per batch and loops in the
+trainer; here each example is padded to (max_rels, max_objs) at load time so
+batches are stackable numpy arrays, shardable over a data mesh.
+"""
+from __future__ import annotations
+
+import dataclasses
+import pickle
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from .losses import REL_TO_ID, LayoutBatch
+
+GPT3_DEFAULT = (
+    "/root/reference/layout_predictor/LayoutTransformer/data/gpt-3.pkl"
+)
+
+
+@dataclasses.dataclass
+class LayoutExample:
+    caption: str
+    words: List[str]
+    object_word_idx: List[int]            # word-level indices of objects
+    relations: List[Sequence]             # [i_word, j_word, rel_name]
+    abs_xy: Optional[List[Sequence]] = None  # [(word_idx, x, y)]
+
+
+def load_gpt3_examples(path: str = GPT3_DEFAULT) -> List[LayoutExample]:
+    """Parse gpt-3.pkl rows: [caption, words, obj_word_indices,
+    [[i, j, rel]], noun_phrases] (`COCODataset.py:312-340`)."""
+    with open(path, "rb") as f:
+        rows = pickle.load(f)
+    out = []
+    for row in rows:
+        caption, words, obj_idx, rels = row[0], row[1], row[2], row[3]
+        out.append(
+            LayoutExample(
+                caption=caption,
+                words=[w.strip() for w in words],
+                object_word_idx=list(obj_idx),
+                relations=[list(r) for r in rels],
+            )
+        )
+    return out
+
+
+def example_to_arrays(
+    ex: LayoutExample,
+    tokenizer,
+    max_len: int = 128,
+    max_rels: int = 8,
+    max_objs: int = 8,
+):
+    """Tokenize with word alignment and pad to fixed shapes."""
+    ids, align = tokenizer.encode_with_alignment(ex.words)
+    tokens = np.asarray(tokenizer.pad_to(ids, max_len), np.int32)
+
+    object_pos = np.zeros(max_len, np.float32)
+    for w in ex.object_word_idx:
+        if w < len(align) and align[w] < max_len:
+            object_pos[align[w]] = 1.0
+
+    rel_idx = np.zeros((max_rels, 2), np.int32)
+    rel_type = np.zeros(max_rels, np.int32)
+    rel_valid = np.zeros(max_rels, np.float32)
+    for r, (i, j, rel) in enumerate(ex.relations[:max_rels]):
+        if rel not in REL_TO_ID or i >= len(align) or j >= len(align):
+            continue
+        ti, tj = align[i], align[j]
+        if ti >= max_len or tj >= max_len:
+            continue
+        rel_idx[r] = (ti, tj)
+        rel_type[r] = REL_TO_ID[rel]
+        rel_valid[r] = 1.0
+
+    abs_idx = np.zeros(max_objs, np.int32)
+    abs_xy = np.zeros((max_objs, 2), np.float32)
+    abs_valid = np.zeros(max_objs, np.float32)
+    if ex.abs_xy:
+        for o, (w, x, y) in enumerate(ex.abs_xy[:max_objs]):
+            if w >= len(align) or align[w] >= max_len:
+                continue
+            abs_idx[o] = align[w]
+            abs_xy[o] = (x, y)
+            abs_valid[o] = 1.0
+
+    return dict(
+        tokens=tokens, object_pos=object_pos,
+        rel_idx=rel_idx, rel_type=rel_type, rel_valid=rel_valid,
+        abs_idx=abs_idx, abs_xy=abs_xy, abs_valid=abs_valid,
+    )
+
+
+def batches(
+    examples: List[LayoutExample],
+    tokenizer,
+    batch_size: int,
+    rng: np.random.RandomState,
+    max_len: int = 128,
+    max_rels: int = 8,
+    max_objs: int = 8,
+    epochs: int = 1,
+    drop_last: bool = True,
+) -> Iterator[LayoutBatch]:
+    """Shuffled, stacked fixed-shape batches."""
+    arrays = [
+        example_to_arrays(ex, tokenizer, max_len, max_rels, max_objs)
+        for ex in examples
+    ]
+    n = len(arrays)
+    for _ in range(epochs):
+        order = rng.permutation(n)
+        end = n - (n % batch_size) if drop_last else n
+        for s in range(0, end, batch_size):
+            idx = order[s : s + batch_size]
+            yield LayoutBatch(
+                **{
+                    k: np.stack([arrays[i][k] for i in idx])
+                    for k in arrays[0]
+                }
+            )
+
+
+def synthetic_examples(n: int, rng: np.random.RandomState) -> List[LayoutExample]:
+    """Tiny synthetic relation corpus for tests: 'the A is REL the B'."""
+    nouns = ["dog", "cat", "car", "tree", "bird", "cup", "chair", "lamp"]
+    rels = list(REL_TO_ID.keys())
+    out = []
+    for _ in range(n):
+        a, b = rng.choice(nouns, 2, replace=False)
+        rel = rels[rng.randint(len(rels))]
+        words = ["the", a, "is"] + rel.split() + ["the", b]
+        i, j = 1, len(words) - 1
+        out.append(
+            LayoutExample(
+                caption=" ".join(words),
+                words=words,
+                object_word_idx=[i, j],
+                relations=[[i, j, rel]],
+                abs_xy=[(i, rng.rand(), rng.rand()), (j, rng.rand(), rng.rand())],
+            )
+        )
+    return out
