@@ -30,6 +30,7 @@ def main():
     ap.add_argument("--mode", choices=["vanilla", "spatial", "spacetime"], default="vanilla")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--batch", type=int, default=1, help="prompts per step")
+    ap.add_argument("--flash", action="store_true", help="Pallas flash self-attention")
     args = ap.parse_args()
 
     import jax
@@ -49,15 +50,16 @@ def main():
     from diffusion_spacetime_attn_tpu.utils.testing import randomize_params
 
     cfg = PipelineConfig(
-        unet=UNetConfig(dtype=args.dtype),
+        unet=UNetConfig(dtype=args.dtype, use_flash=args.flash),
         vae=VAEConfig(dtype=args.dtype),
         spacetime=SpaceTimeConfig(num_steps=args.steps),
     )
-    sd = StableDiffusion.create(cfg, jax.random.PRNGKey(0))
+    sd = StableDiffusion.create(cfg, jax.random.PRNGKey(0), abstract=True)
     sd = dataclasses.replace(
         sd,
         unet_params=randomize_params(sd.unet_params, jax.random.PRNGKey(1)),
         vae_params=randomize_params(sd.vae_params, jax.random.PRNGKey(2)),
+        text_params=randomize_params(sd.text_params, jax.random.PRNGKey(3)),
     )
     sd = dataclasses.replace(
         sd, schedule=make_schedule(cfg.schedule, args.steps)

@@ -29,6 +29,10 @@ class UNetConfig:
     dropout: float = 0.0
     # compute dtype name ("bfloat16" or "float32"); params stay float32
     dtype: str = "float32"
+    # route long self-attention through the Pallas TPU flash kernel
+    use_flash: bool = False
+    # fuse the blended global+local cross-attention into one Pallas kernel
+    use_fused_control: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -70,6 +70,8 @@ class CrossAttention(nn.Module):
     context_dim: Optional[int] = None
     heads: int = 8
     dtype: jnp.dtype = jnp.float32
+    flash: bool = False
+    fused_control: bool = False
 
     def setup(self):
         inner = self.query_dim
@@ -83,7 +85,7 @@ class CrossAttention(nn.Module):
         q = self.to_q(x)
         k = self.to_k(context)
         v = self.to_v(context)
-        out = attention(q, k, v, self.heads)
+        out = attention(q, k, v, self.heads, flash=self.flash)
         return self.to_out(out)
 
     def controlled(self, x, context, control: Optional[SpatialControl], radius: float):
@@ -97,7 +99,8 @@ class CrossAttention(nn.Module):
             lv = self.to_v(control.local_contexts)
             local_kv = (lk, lv)
         out = spacetime_cross_attention(
-            q, (k, v), local_kv, control, self.heads, radius
+            q, (k, v), local_kv, control, self.heads, radius,
+            fused=self.fused_control,
         )
         return self.to_out(out)
 
@@ -110,13 +113,18 @@ class BasicTransformerBlock(nn.Module):
     heads: int
     radius: float = 0.2
     dtype: jnp.dtype = jnp.float32
+    flash: bool = False
+    fused_control: bool = False
 
     @nn.compact
     def __call__(self, x, context, control: Optional[SpatialControl] = None):
-        attn1 = CrossAttention(self.dim, heads=self.heads, dtype=self.dtype, name="attn1")
+        attn1 = CrossAttention(
+            self.dim, heads=self.heads, dtype=self.dtype, flash=self.flash,
+            name="attn1",
+        )
         attn2 = CrossAttention(
             self.dim, context_dim=context.shape[-1], heads=self.heads,
-            dtype=self.dtype, name="attn2",
+            dtype=self.dtype, fused_control=self.fused_control, name="attn2",
         )
         norm1 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")
         norm2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")
@@ -138,6 +146,8 @@ class SpatialTransformer(nn.Module):
     depth: int = 1
     radius: float = 0.2
     dtype: jnp.dtype = jnp.float32
+    flash: bool = False
+    fused_control: bool = False
 
     @nn.compact
     def __call__(self, x, context, control=None):
@@ -148,7 +158,8 @@ class SpatialTransformer(nn.Module):
         for d in range(self.depth):
             h = BasicTransformerBlock(
                 self.channels, self.heads, radius=self.radius,
-                dtype=self.dtype, name=f"block_{d}",
+                dtype=self.dtype, flash=self.flash,
+                fused_control=self.fused_control, name=f"block_{d}",
             )(h, context, control)
         h = h.reshape(B, H, W, self.channels)
         h = nn.Conv(

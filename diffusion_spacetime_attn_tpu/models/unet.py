@@ -66,6 +66,8 @@ class UNet(nn.Module):
                 depth=cfg.transformer_depth,
                 radius=self.radius,
                 dtype=dtype,
+                flash=cfg.use_flash,
+                fused_control=cfg.use_fused_control,
                 name=name,
             )
 

@@ -45,13 +45,46 @@ class SpatialControl(NamedTuple):
     active: jnp.ndarray          # [B, N] 1.0 = real object, 0.0 = padding
 
 
-def attention(q, k, v, num_heads: int, *, out_dtype=None):
+def _tpu_backend() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def flash_ok(Lq: int, Lk: int, dh: int) -> bool:
+    """Shapes the Pallas TPU flash kernel handles profitably: long
+    self-attention sequences, head_dim ≤ 128 (the kernel requires multiples
+    of 128 above that; SD's 160-dim heads sit at tiny seq lengths where XLA
+    wins anyway)."""
+    return Lq == Lk and Lq >= 1024 and dh <= 128 and Lq % 512 == 0
+
+
+def flash_attention(q, k, v, num_heads: int):
+    """Pallas TPU flash attention on [B, L, H*Dh] tensors."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        flash_attention as _fa,
+    )
+
+    B, Lq, inner = q.shape
+    dh = inner // num_heads
+    qh = jnp.swapaxes(q.reshape(B, Lq, num_heads, dh), 1, 2)
+    kh = jnp.swapaxes(k.reshape(B, -1, num_heads, dh), 1, 2)
+    vh = jnp.swapaxes(v.reshape(B, -1, num_heads, dh), 1, 2)
+    out = _fa(qh, kh, vh, sm_scale=dh ** -0.5)
+    return jnp.swapaxes(out, 1, 2).reshape(B, Lq, inner)
+
+
+def attention(q, k, v, num_heads: int, *, out_dtype=None, flash: bool = False):
     """Plain softmax attention.  q: [B, Lq, H*Dh], k/v: [B, Lk, H*Dh].
 
     Softmax is computed in float32 regardless of input dtype (numerics rule
-    for bf16 TPU attention).
+    for bf16 TPU attention).  flash=True routes eligible shapes through the
+    Pallas TPU flash kernel (fwd+bwd via its custom VJP).
     """
     B, Lq, inner = q.shape
+    if flash and _tpu_backend() and flash_ok(Lq, k.shape[-2], inner // num_heads):
+        return flash_attention(q, k, v, num_heads).astype(out_dtype or q.dtype)
     Lk = k.shape[-2]
     dh = inner // num_heads
     scale = dh ** -0.5
@@ -94,26 +127,40 @@ def spacetime_cross_attention(
     control: Optional[SpatialControl],
     num_heads: int,
     radius: float,
+    fused: bool = False,
 ):
     """Blended global+local cross-attention (pre-projection outputs).
 
     Returns [2B, Lq, inner].  With control=None this is plain cross-attention
     (the vanilla SD path, first-class unlike the reference's broken stock
-    path `ddpm.py:1005`).
+    path `ddpm.py:1005`).  fused=True routes the cond half through the
+    Pallas kernel (ops.pallas_spacetime) on TPU.
     """
     k, v = context_kv
+    B = q.shape[0] // 2
+    dim = int(round(q.shape[1] ** 0.5))
+
+    if control is not None and fused and _tpu_backend():
+        from .pallas_spacetime import fused_spacetime_attention
+
+        g_u = attention(q[:B], k[:B], v[:B], num_heads)
+        lk, lv = local_kv
+        m = flat_circular_mask(control.centers, dim, radius, control.active)
+        out_c = fused_spacetime_attention(
+            q[B:], g_u, k[B:], v[B:], lk, lv, m, control.coef, num_heads
+        )
+        return jnp.concatenate([g_u, out_c], axis=0)
+
     g = attention(q, k, v, num_heads)  # [2B, Lq, inner]
     if control is None:
         return g
 
-    B = q.shape[0] // 2
     q_c = q[B:]
     lk, lv = local_kv
     N = lk.shape[1]
     # [B, N, Lq, inner] — one softmax per (prompt, object)
     loc = multi_context_attention(q_c, lk, lv, num_heads)
 
-    dim = int(round(q.shape[1] ** 0.5))
     # [B, N, Lq] region masks, zeroed for padded objects
     m = flat_circular_mask(control.centers, dim, radius, control.active)
     w = m * control.coef[..., None]                     # [B, N, Lq]

@@ -38,8 +38,16 @@ class StableDiffusion:
     schedule: DiffusionSchedule
 
     @classmethod
-    def create(cls, cfg: PipelineConfig, rng: jax.Array) -> "StableDiffusion":
-        """Random-init bundle (weight loading via utils.convert)."""
+    def create(
+        cls, cfg: PipelineConfig, rng: jax.Array, abstract: bool = False
+    ) -> "StableDiffusion":
+        """Random-init bundle (weight loading via utils.convert).
+
+        abstract=True skips device work entirely (params are
+        ShapeDtypeStructs from eval_shape) — callers then fill them via
+        `utils.testing.randomize_params` or a converter.  This matters on a
+        tunneled TPU where eager flax init is thousands of tiny dispatches.
+        """
         unet = UNet(cfg.unet, radius=cfg.spacetime.radius)
         vae = AutoencoderKL(cfg.vae)
         text = CLIPTextTower(cfg.text_encoder)
@@ -48,11 +56,16 @@ class StableDiffusion:
         x = jnp.zeros((2, latent, latent, cfg.unet.in_channels))
         t = jnp.zeros((2,), jnp.int32)
         ctx = jnp.zeros((2, cfg.text_encoder.max_len, cfg.unet.context_dim))
-        unet_params = unet.init(r1, x, t, ctx)["params"]
         img = jnp.zeros((1, 64, 64, 3))
-        vae_params = vae.init(r2, img)["params"]
         tokens = jnp.zeros((1, cfg.text_encoder.max_len), jnp.int32)
-        text_params = text.init(r3, tokens)["params"]
+        if abstract:
+            unet_params = jax.eval_shape(unet.init, r1, x, t, ctx)["params"]
+            vae_params = jax.eval_shape(vae.init, r2, img)["params"]
+            text_params = jax.eval_shape(text.init, r3, tokens)["params"]
+        else:
+            unet_params = unet.init(r1, x, t, ctx)["params"]
+            vae_params = vae.init(r2, img)["params"]
+            text_params = text.init(r3, tokens)["params"]
         sched = make_schedule(cfg.schedule, cfg.spacetime.num_steps)
         return cls(cfg, unet, vae, text, unet_params, vae_params, text_params, sched)
 

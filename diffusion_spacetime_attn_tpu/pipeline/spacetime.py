@@ -83,6 +83,16 @@ def generation_loss(
     return jnp.sum(g + cfg.local_loss_weight * l), images
 
 
+def model_params(sd: StableDiffusion, clip_loss: DCLIPLoss):
+    """The frozen-model parameter bundle passed as a jit ARGUMENT (closing
+    over multi-GB params bakes them into the executable as constants)."""
+    return {
+        "unet": sd.unet_params,
+        "vae": sd.vae_params,
+        "clip": clip_loss.params,
+    }
+
+
 def make_train_step(
     sd: StableDiffusion,
     clip_loss: DCLIPLoss,
@@ -90,14 +100,18 @@ def make_train_step(
     optimizer: Optional[optax.GradientTransformation] = None,
     sampler: str = "plms",
 ):
-    """One jitted Adam epoch: (coef, opt_state, inputs) →
-    (new_coef, new_opt_state, loss, images)."""
+    """One jitted Adam epoch:
+    (params, coef, opt_state, inputs) → (new_coef, new_opt_state, loss, images)."""
+    import dataclasses as dc
+
     opt = optimizer or optax.adam(cfg.lr)
 
-    def train_step(coef, opt_state, inputs: SpaceTimeInputs):
+    def train_step(params, coef, opt_state, inputs: SpaceTimeInputs):
+        s = dc.replace(sd, unet_params=params["unet"], vae_params=params["vae"])
+        cl = DCLIPLoss(clip_loss.clip, params["clip"], clip_loss.normalize)
         (loss, images), grads = jax.value_and_grad(
             generation_loss, has_aux=True
-        )(coef, sd, clip_loss, inputs, cfg, sampler)
+        )(coef, s, cl, inputs, cfg, sampler)
         updates, opt_state = opt.update(grads, opt_state, coef)
         coef = optax.apply_updates(coef, updates)
         return coef, opt_state, loss, images
@@ -123,11 +137,12 @@ def optimize_prompt(
     """
     if train_step is None:
         optimizer, train_step = make_train_step(sd, clip_loss, cfg, optimizer, sampler)
+    params = model_params(sd, clip_loss)
     coef = init_coef(inputs.active, cfg.num_steps, cfg.init_coef)
     opt_state = optimizer.init(coef)
     losses = []
     images = None
     for _ in range(cfg.epochs):
-        coef, opt_state, loss, images = train_step(coef, opt_state, inputs)
+        coef, opt_state, loss, images = train_step(params, coef, opt_state, inputs)
         losses.append(loss)
     return images, coef, jnp.stack(losses)

@@ -1,8 +1,10 @@
 """Test/bench helpers."""
 from __future__ import annotations
 
+import hashlib
+
 import jax
-import jax.numpy as jnp
+import numpy as np
 
 
 def randomize_params(params, rng: jax.Array, scale: float = 0.02):
@@ -11,11 +13,17 @@ def randomize_params(params, rng: jax.Array, scale: float = 0.02):
     SD-style models zero-initialize their output convs, so a freshly
     initialized network is degenerate (identically-zero output); tests and
     throughput benches need non-degenerate weights without real checkpoints.
+
+    Noise is generated host-side with numpy (seeded from the key) — one
+    device_put per leaf instead of thousands of tiny device computations,
+    which matters on a tunneled TPU.
     """
-    leaves, treedef = jax.tree_util.tree_flatten(params)
-    rngs = jax.random.split(rng, len(leaves))
-    new = [
-        jax.random.normal(r, leaf.shape, leaf.dtype) * jnp.asarray(scale, leaf.dtype)
-        for r, leaf in zip(rngs, leaves)
-    ]
-    return jax.tree_util.tree_unflatten(treedef, new)
+    seed = int(np.asarray(jax.random.key_data(rng)).ravel()[-1]) & 0x7FFFFFFF
+
+    def leaf(path, x):
+        name = "/".join(str(p) for p in path).encode()
+        h = int.from_bytes(hashlib.sha1(name).digest()[:4], "little")
+        r = np.random.RandomState((seed ^ h) & 0x7FFFFFFF)
+        return (r.standard_normal(x.shape) * scale).astype(x.dtype)
+
+    return jax.tree_util.tree_map_with_path(leaf, params)

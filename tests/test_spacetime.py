@@ -108,8 +108,10 @@ def test_grads_masked_for_padded_objects(setup):
     sd, loss, inputs, st_cfg = setup
     inputs = inputs._replace(active=jnp.array([[1.0, 0.0]]))
     opt, step = make_train_step(sd, loss, st_cfg)
+    from diffusion_spacetime_attn_tpu.pipeline.spacetime import model_params
+
     coef = init_coef(inputs.active, STEPS, st_cfg.init_coef)
-    coef, _, l, _ = step(coef, opt.init(coef), inputs)
+    coef, _, l, _ = step(model_params(sd, loss), coef, opt.init(coef), inputs)
     # padded object's weights must not move (zero mask ⇒ zero grad)
     np.testing.assert_allclose(np.asarray(coef)[0, 1], 0.0, atol=1e-7)
     assert np.isfinite(float(l))
