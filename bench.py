@@ -31,6 +31,7 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--batch", type=int, default=1, help="prompts per step")
     ap.add_argument("--flash", action="store_true", help="Pallas flash self-attention")
+    ap.add_argument("--params-dtype", default="float32", help="cast params (e.g. bfloat16)")
     args = ap.parse_args()
 
     import jax
@@ -64,6 +65,12 @@ def main():
     sd = dataclasses.replace(
         sd, schedule=make_schedule(cfg.schedule, args.steps)
     )
+    if args.params_dtype != "float32":
+        pd = jnp.dtype(args.params_dtype)
+        cast = lambda t: jax.tree_util.tree_map(lambda x: x.astype(pd), t)
+        sd = dataclasses.replace(
+            sd, unet_params=cast(sd.unet_params), vae_params=cast(sd.vae_params)
+        )
 
     B, N, L, D = args.batch, 4, 77, cfg.unet.context_dim
     rng = np.random.RandomState(0)

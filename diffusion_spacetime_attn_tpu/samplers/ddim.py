@@ -18,16 +18,31 @@ def ddim_sample(
     sched: DiffusionSchedule,
     rng: Optional[jax.Array] = None,
     remat: bool = True,
+    mask: Optional[jnp.ndarray] = None,
+    x0: Optional[jnp.ndarray] = None,
+    start_step: int = 0,
 ) -> jnp.ndarray:
+    """mask/x0: inpainting — keep q_sample(x0, t) where mask==1 (reference
+    `plms.py:232-235`).  start_step: skip the first noisy steps (img2img:
+    caller provides a partially-noised x_T for timestep[start_step])."""
     if remat:
         eps_fn = jax.checkpoint(eps_fn)
     S = sched.num_steps
     stochastic = rng is not None
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    rngs = jax.random.split(rng, S)
+    rngs = jax.random.split(rng, 2 * S).reshape(2, S, -1)
+    inpaint = mask is not None
+    if inpaint and x0 is None:
+        raise ValueError("x0 required with mask")
 
     def body(x, i):
+        if inpaint:
+            from ..ops.schedule import q_sample
+
+            noise = jax.random.normal(rngs[1, i], x.shape, x.dtype)
+            t = jnp.broadcast_to(sched.timesteps[i], (x.shape[0],))
+            x = q_sample(sched, x0, t, noise) * mask + (1.0 - mask) * x
         e = eps_fn(x, sched.timesteps[i], i)
         a_t = sched.alphas[i]
         a_prev = sched.alphas_prev[i]
@@ -36,8 +51,8 @@ def ddim_sample(
         dir_xt = jnp.sqrt(1.0 - a_prev - sigma ** 2) * e
         x_new = jnp.sqrt(a_prev) * pred_x0 + dir_xt
         if stochastic:
-            x_new = x_new + sigma * jax.random.normal(rngs[i], x.shape, x.dtype)
+            x_new = x_new + sigma * jax.random.normal(rngs[0, i], x.shape, x.dtype)
         return x_new, None
 
-    x, _ = lax.scan(body, x_T, jnp.arange(S))
+    x, _ = lax.scan(body, x_T, jnp.arange(start_step, S))
     return x

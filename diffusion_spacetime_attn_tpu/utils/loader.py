@@ -1,0 +1,85 @@
+"""High-level checkpoint loading: CompVis sd-v1-4.ckpt → StableDiffusion
+bundle; fairseq/HF checkpoints → layout predictor; OpenAI ViT-B/32 → DCLIP.
+
+Mirrors `load_model_from_config` (`scripts/txt2img-gpt.py:55-72`), which
+loads the single CompVis checkpoint with strict=False.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+
+from ..config import LayoutConfig, PipelineConfig
+from ..models.layout.model import LayoutPredictor
+from ..pipeline.pipeline import StableDiffusion
+from . import convert
+from .testing import randomize_params
+
+
+def load_stable_diffusion(
+    cfg: PipelineConfig,
+    ckpt_path: Optional[str] = None,
+    rng: Optional[jax.Array] = None,
+    randomize_if_missing: bool = True,
+) -> StableDiffusion:
+    """ckpt_path: CompVis .ckpt/.safetensors containing
+    model.diffusion_model.* / first_stage_model.* / cond_stage_model.*.
+    Without a path, params are random (bench/test mode)."""
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    sd = StableDiffusion.create(cfg, rng, abstract=True)
+    if ckpt_path:
+        state = convert.load_torch_checkpoint(ckpt_path)
+        unet_params = convert.convert_sd_unet(
+            state,
+            channel_mult=cfg.unet.channel_mult,
+            num_res_blocks=cfg.unet.num_res_blocks,
+            attention_ds=cfg.unet.attention_resolutions,
+        )
+        vae_params = convert.convert_sd_vae(
+            state, ch_mult=cfg.vae.ch_mult, num_res_blocks=cfg.vae.num_res_blocks
+        )
+        text_params = convert.convert_hf_clip_text(
+            state, prefix="cond_stage_model.transformer.text_model."
+        )
+        return dataclasses.replace(
+            sd,
+            unet_params=jax.device_put(unet_params),
+            vae_params=jax.device_put(vae_params),
+            text_params=jax.device_put(text_params),
+        )
+    if randomize_if_missing:
+        r1, r2, r3 = jax.random.split(rng, 3)
+        return dataclasses.replace(
+            sd,
+            unet_params=randomize_params(sd.unet_params, r1),
+            vae_params=randomize_params(sd.vae_params, r2),
+            text_params=randomize_params(sd.text_params, r3),
+        )
+    return sd
+
+
+def load_layout_predictor(
+    cfg: LayoutConfig,
+    ckpt_path: Optional[str] = None,
+    rng: Optional[jax.Array] = None,
+):
+    """ckpt_path: an orbax checkpoint dir (ours) or a torch .pth with HF
+    RoBERTa keys for the backbone (head randomly initialized)."""
+    from ..models.layout.model import create_layout_predictor
+
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    model, params = create_layout_predictor(cfg, rng)
+    if ckpt_path:
+        if ckpt_path.endswith((".pth", ".pt", ".ckpt", ".safetensors")):
+            state = convert.load_torch_checkpoint(ckpt_path)
+            backbone = convert.convert_hf_roberta(state, prefix="roberta.")
+            params = dict(params)
+            params["backbone"] = {**params["backbone"], **backbone}
+        else:
+            import orbax.checkpoint as ocp
+
+            with ocp.StandardCheckpointer() as ckptr:
+                params = ckptr.restore(ckpt_path, params)
+    return model, params

@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Dataset sweep CLI: gpt / mscoco / vsr (reference:
+`scripts/txt2img-{gpt,mscoco,vsr}.py`), with resumable progress.
+
+The reference restarts a crashed 500-prompt sweep by hand-editing the
+`start` variable (`txt2img-gpt.py:303`); here a JSON manifest in the output
+dir records completed indices and `--resume` skips them.
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", choices=["gpt", "mscoco", "vsr"], required=True)
+    ap.add_argument(
+        "--data-root", default="/root/reference/datasets",
+        help="directory holding gpt.txt / mscoco.txt / vsr.txt",
+    )
+    ap.add_argument("--mode", choices=["vanilla", "spatial", "spacetime"], default="spacetime")
+    ap.add_argument("--start", type=int, default=0)
+    ap.add_argument("--end", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--outdir", default="result_outputs")
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--layout-ckpt", default=None)
+    ap.add_argument("--clip-ckpt", default=None)
+    ap.add_argument("--clip-vocab", default=None)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--flash", action="store_true")
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from diffusion_spacetime_attn_tpu.config import (
+        CLIPConfig,
+        LayoutConfig,
+        PipelineConfig,
+        SpaceTimeConfig,
+        UNetConfig,
+        VAEConfig,
+    )
+    from diffusion_spacetime_attn_tpu.models.clip import CLIP
+    from diffusion_spacetime_attn_tpu.pipeline.frontend import LayoutInference
+    from diffusion_spacetime_attn_tpu.pipeline.losses import DCLIPLoss
+    from diffusion_spacetime_attn_tpu.pipeline.runners import (
+        PromptRunner,
+        parse_gpt_prompts,
+        parse_line_prompts,
+    )
+    from diffusion_spacetime_attn_tpu.utils import convert
+    from diffusion_spacetime_attn_tpu.utils.loader import (
+        load_layout_predictor,
+        load_stable_diffusion,
+    )
+    from diffusion_spacetime_attn_tpu.utils.profiling import JsonLogger
+    from diffusion_spacetime_attn_tpu.utils.testing import randomize_params
+    from diffusion_spacetime_attn_tpu.utils.tokenizer import (
+        make_clip_tokenizer,
+        make_roberta_tokenizer,
+    )
+
+    if args.dataset == "gpt":
+        prompts = parse_gpt_prompts(os.path.join(args.data_root, "gpt.txt"))
+    else:
+        prompts = parse_line_prompts(
+            os.path.join(args.data_root, f"{args.dataset}.txt")
+        )
+
+    cfg = PipelineConfig(
+        unet=UNetConfig(dtype=args.dtype, use_flash=args.flash),
+        vae=VAEConfig(dtype=args.dtype),
+        spacetime=SpaceTimeConfig(num_steps=args.steps),
+    )
+    sd = load_stable_diffusion(cfg, args.ckpt)
+    clip_model = CLIP(cfg.loss_clip)
+    if args.clip_ckpt:
+        clip_params = convert.convert_openai_clip(
+            convert.load_torch_checkpoint(args.clip_ckpt)
+        )
+    else:
+        clip_params = randomize_params(
+            jax.eval_shape(
+                clip_model.init, jax.random.PRNGKey(0),
+                jnp.zeros((1, 224, 224, 3)), jnp.zeros((1, 77), jnp.int32),
+            )["params"],
+            jax.random.PRNGKey(9),
+        )
+    clip_loss = DCLIPLoss(clip_model, clip_params)
+    lcfg = LayoutConfig()
+    lmodel, lparams = load_layout_predictor(lcfg, args.layout_ckpt)
+    layout = LayoutInference(lmodel, lparams, make_roberta_tokenizer(), lcfg.max_len)
+    ctok = make_clip_tokenizer(args.clip_vocab)
+    tokenize = (
+        ctok.tokenize if hasattr(ctok, "tokenize")
+        else (lambda t: ctok.pad_to(ctok.encode(t), 77))
+    )
+    runner = PromptRunner(
+        sd=sd, clip_loss=clip_loss, layout=layout,
+        clip_tokenize=tokenize, text_tokenize=tokenize,
+        cfg=cfg.spacetime, outdir=args.outdir, mode=args.mode,
+    )
+
+    manifest_path = os.path.join(args.outdir, f"manifest_{args.dataset}.json")
+    done = set()
+    if args.resume and os.path.exists(manifest_path):
+        done = set(json.load(open(manifest_path))["done"])
+        print(f"resuming: {len(done)} prompts already complete")
+    os.makedirs(args.outdir, exist_ok=True)
+    log = JsonLogger(os.path.join(args.outdir, "run_log.jsonl"))
+
+    end = min(args.end or len(prompts), len(prompts))
+    import time
+
+    for idx in range(args.start, end):
+        if idx in done:
+            continue
+        t0 = time.perf_counter()
+        img = runner.run_one(prompts[idx], idx, args.seed)
+        log.log(
+            "prompt_done", idx=idx, ok=img is not None,
+            seconds=round(time.perf_counter() - t0, 3),
+        )
+        done.add(idx)
+        json.dump({"done": sorted(done)}, open(manifest_path, "w"))
+    print(f"sweep complete: {len(done)} prompts")
+
+
+if __name__ == "__main__":
+    main()

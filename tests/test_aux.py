@@ -1,0 +1,83 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_spacetime_attn_tpu.config import (
+    CLIPTextConfig,
+    PipelineConfig,
+    SpaceTimeConfig,
+    UNetConfig,
+    VAEConfig,
+)
+from diffusion_spacetime_attn_tpu.pipeline.img2img import img2img, inpaint
+from diffusion_spacetime_attn_tpu.pipeline.pipeline import StableDiffusion
+from diffusion_spacetime_attn_tpu.pipeline.safety import SafetyChecker
+from diffusion_spacetime_attn_tpu.utils.testing import randomize_params
+from diffusion_spacetime_attn_tpu.utils.watermark import (
+    decode_watermark,
+    embed_watermark,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_sd():
+    cfg = PipelineConfig(
+        unet=UNetConfig(model_channels=32, channel_mult=(1, 2), num_res_blocks=1,
+                        attention_resolutions=(1, 2), num_heads=2, context_dim=16),
+        vae=VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1),
+        text_encoder=CLIPTextConfig(width=16, layers=2, heads=2, vocab_size=100, max_len=7),
+        spacetime=SpaceTimeConfig(num_steps=6, latent_size=8, image_size=16, max_objects=2),
+    )
+    sd = StableDiffusion.create(cfg, jax.random.PRNGKey(0))
+    return dataclasses.replace(
+        sd,
+        unet_params=randomize_params(sd.unet_params, jax.random.PRNGKey(1), 0.1),
+        vae_params=randomize_params(sd.vae_params, jax.random.PRNGKey(2), 0.1),
+        text_params=randomize_params(sd.text_params, jax.random.PRNGKey(3)),
+    )
+
+
+def test_img2img_runs(tiny_sd):
+    sd = tiny_sd
+    rng = np.random.RandomState(0)
+    init = jnp.array(rng.rand(1, 16, 16, 3) * 2 - 1, jnp.float32)
+    cond = sd.encode_text(jnp.array([[1, 5, 9, 3, 2, 0, 99]], jnp.int32))
+    uncond = sd.encode_text(jnp.array([[1, 2, 0, 0, 0, 0, 99]], jnp.int32))
+    out = img2img(sd, init, cond, uncond, jax.random.PRNGKey(0), strength=0.5)
+    assert out.shape == (1, 16, 16, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    with pytest.raises(ValueError):
+        img2img(sd, init, cond, uncond, jax.random.PRNGKey(0), strength=0.0)
+
+
+def test_inpaint_runs(tiny_sd):
+    sd = tiny_sd
+    rng = np.random.RandomState(1)
+    init = jnp.array(rng.rand(1, 16, 16, 3) * 2 - 1, jnp.float32)
+    mask = jnp.zeros((1, 16, 16, 1)).at[:, :8].set(1.0)
+    cond = sd.encode_text(jnp.array([[1, 5, 9, 3, 2, 0, 99]], jnp.int32))
+    uncond = sd.encode_text(jnp.array([[1, 2, 0, 0, 0, 0, 99]], jnp.int32))
+    out = inpaint(sd, init, mask, cond, uncond, jax.random.PRNGKey(0))
+    assert out.shape == (1, 16, 16, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_watermark_roundtrip():
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (128, 128, 3), np.uint8)
+    wm = embed_watermark(img, "SDV1")
+    assert decode_watermark(wm, 4) == "SDV1"
+    # imperceptible: at most 1 LSB of the blue channel
+    assert np.abs(wm.astype(int) - img.astype(int)).max() <= 1
+    assert (wm[..., :2] == img[..., :2]).all()
+
+
+def test_safety_checker_noop_and_flagging():
+    imgs = jnp.ones((2, 8, 8, 3)) * 0.5
+    checker = SafetyChecker()
+    out, flags = checker(imgs)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(imgs))
+    assert not flags.any()
