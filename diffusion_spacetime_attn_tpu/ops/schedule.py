@@ -46,7 +46,9 @@ def make_ddim_timesteps(num_steps: int, num_train_timesteps: int) -> np.ndarray:
     reversed, so the first model timestep is 981.
     """
     c = num_train_timesteps // num_steps
-    steps = np.asarray(list(range(0, num_train_timesteps, c)))
+    # take exactly num_steps entries (the reference's open range over-runs
+    # and would index out of bounds for non-divisor step counts)
+    steps = np.asarray(list(range(0, num_train_timesteps, c)))[:num_steps]
     return steps + 1
 
 
