@@ -91,8 +91,10 @@ def main():
     import dataclasses as dc
 
     # params go in as jit ARGUMENTS (closing over them bakes GBs of
-    # constants into the executable and bloats compile time)
-    params = (sd.unet_params, sd.vae_params)
+    # constants into the executable and bloats compile time) — but must be
+    # committed device arrays (numpy leaves would re-transfer every call)
+    params = jax.device_put((sd.unet_params, sd.vae_params))
+    jax.block_until_ready(params)
 
     if args.mode == "spacetime":
         def run(ps, rng_key, coef):

@@ -238,10 +238,20 @@ def make_clip_tokenizer(vocab_path: Optional[str] = None, max_len: int = 77):
 
 
 def make_roberta_tokenizer(
-    vocab_path: Optional[str] = None, merges_path: Optional[str] = None
+    vocab_path: Optional[str] = None,
+    merges_path: Optional[str] = None,
+    prefer_native: bool = True,
 ):
-    """RoBERTa BPE if vocab files available, else HashTokenizer with
-    RoBERTa's special ids (bos=0, eos=2, pad=1)."""
+    """RoBERTa BPE if vocab files available (native C++ core when the
+    toolchain permits), else HashTokenizer with RoBERTa's special ids
+    (bos=0, eos=2, pad=1)."""
     if vocab_path and merges_path and os.path.exists(vocab_path):
+        if prefer_native:
+            try:
+                from .native_bpe import NativeBPE
+
+                return NativeBPE.from_files(vocab_path, merges_path)
+            except Exception:
+                pass
         return GPT2Tokenizer(vocab_path, merges_path)
     return HashTokenizer(vocab_size=50265, bos=0, eos=2, pad=1, reserved=10)
