@@ -55,12 +55,15 @@ def main():
         vae=VAEConfig(dtype=args.dtype),
         spacetime=SpaceTimeConfig(num_steps=args.steps),
     )
+    from diffusion_spacetime_attn_tpu.utils.testing import (
+        randomize_params_on_device,
+    )
+
     sd = StableDiffusion.create(cfg, jax.random.PRNGKey(0), abstract=True)
     sd = dataclasses.replace(
         sd,
-        unet_params=randomize_params(sd.unet_params, jax.random.PRNGKey(1)),
-        vae_params=randomize_params(sd.vae_params, jax.random.PRNGKey(2)),
-        text_params=randomize_params(sd.text_params, jax.random.PRNGKey(3)),
+        unet_params=randomize_params_on_device(sd.unet_params, jax.random.PRNGKey(1)),
+        vae_params=randomize_params_on_device(sd.vae_params, jax.random.PRNGKey(2)),
     )
     sd = dataclasses.replace(
         sd, schedule=make_schedule(cfg.schedule, args.steps)
@@ -93,7 +96,7 @@ def main():
     # params go in as jit ARGUMENTS (closing over them bakes GBs of
     # constants into the executable and bloats compile time) — but must be
     # committed device arrays (numpy leaves would re-transfer every call)
-    params = jax.device_put((sd.unet_params, sd.vae_params))
+    params = (sd.unet_params, sd.vae_params)
     jax.block_until_ready(params)
 
     if args.mode == "spacetime":

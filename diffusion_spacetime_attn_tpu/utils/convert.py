@@ -320,6 +320,39 @@ def convert_openai_clip(sd: Dict[str, np.ndarray]):
     }
 
 
+def convert_hf_clip_vision(sd: Dict[str, np.ndarray], prefix: str = "vision_model."):
+    """transformers CLIPVisionModel → models.clip.CLIPVisionTower params."""
+    sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    params = {
+        "patch_embedding": {
+            "kernel": np.transpose(sd["embeddings.patch_embedding.weight"], (2, 3, 1, 0))
+        },
+        "class_embedding": sd["embeddings.class_embedding"],
+        "position_embedding": sd["embeddings.position_embedding.weight"],
+        "ln_pre": _norm(sd, "pre_layrnorm"),   # (sic) HF key spelling
+        "ln_post": _norm(sd, "post_layernorm"),
+    }
+    i = 0
+    while f"encoder.layers.{i}.layer_norm1.weight" in sd:
+        p = f"encoder.layers.{i}"
+        params[f"layer_{i}"] = {
+            "ln1": _norm(sd, f"{p}.layer_norm1"),
+            "ln2": _norm(sd, f"{p}.layer_norm2"),
+            "attn": {
+                "q_proj": _dense(sd, f"{p}.self_attn.q_proj"),
+                "k_proj": _dense(sd, f"{p}.self_attn.k_proj"),
+                "v_proj": _dense(sd, f"{p}.self_attn.v_proj"),
+                "out_proj": _dense(sd, f"{p}.self_attn.out_proj"),
+            },
+            "mlp": {
+                "fc1": _dense(sd, f"{p}.mlp.fc1"),
+                "fc2": _dense(sd, f"{p}.mlp.fc2"),
+            },
+        }
+        i += 1
+    return params
+
+
 # --------------------------------------------------------------------------
 # HF RoBERTa (transformers RobertaModel → models.layout.roberta.RobertaBackbone)
 # --------------------------------------------------------------------------

@@ -27,3 +27,27 @@ def randomize_params(params, rng: jax.Array, scale: float = 0.02):
         return (r.standard_normal(x.shape) * scale).astype(x.dtype)
 
     return jax.tree_util.tree_map_with_path(leaf, params)
+
+
+def randomize_params_on_device(shapes, rng: jax.Array, scale: float = 0.02):
+    """Like randomize_params but generated ON device in one jitted
+    executable — no multi-GB host→device transfer (the tunnel makes
+    device_put of full-size params take minutes)."""
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+
+    @jax.jit
+    def gen(key):
+        keys = jax.random.split(key, len(leaves))
+        return [
+            (jax.random.normal(k, l.shape, jnp_float(l.dtype)) * scale).astype(l.dtype)
+            for k, l in zip(keys, leaves)
+        ]
+
+    return jax.tree_util.tree_unflatten(treedef, gen(rng))
+
+
+def jnp_float(dtype):
+    import jax.numpy as jnp
+
+    d = jnp.dtype(dtype)
+    return d if d.kind == "f" else jnp.float32

@@ -220,3 +220,66 @@ def test_vae_decoder_parity_vs_reference(reference_path):
     )
     got_m = np.transpose(np.asarray(mean), (0, 3, 1, 2))
     np.testing.assert_allclose(got_m, moments[:, :4], atol=5e-4)
+
+
+def test_clip_vision_parity_vs_transformers():
+    from transformers import CLIPVisionConfig as HFVCfg, CLIPVisionModel
+
+    hf_cfg = HFVCfg(
+        hidden_size=32, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=2, image_size=28, patch_size=14,
+        hidden_act="quick_gelu",
+    )
+    torch.manual_seed(2)
+    hf = CLIPVisionModel(hf_cfg).eval()
+    rng = np.random.RandomState(3)
+    img = rng.rand(2, 28, 28, 3).astype(np.float32)
+    with torch.no_grad():
+        out = hf(torch.from_numpy(np.transpose(img, (0, 3, 1, 2))))
+        # pooler_output = post_layernorm(cls token)
+        expect = out.pooler_output.numpy()
+
+    from diffusion_spacetime_attn_tpu.config import CLIPVisionConfig
+    from diffusion_spacetime_attn_tpu.models.clip import CLIPVisionTower
+
+    cfg = CLIPVisionConfig(image_size=28, patch_size=14, width=32, layers=2, heads=2)
+    tower = CLIPVisionTower(cfg)
+    params = convert.convert_hf_clip_vision(to_np(hf.state_dict()))
+    got = np.asarray(tower.apply({"params": params}, jnp.array(img)))
+    np.testing.assert_allclose(got, expect, atol=2e-4)
+
+
+def test_openai_qkv_split_matches_fused():
+    """OpenAI checkpoints store fused in_proj; verify the split mapping by
+    comparing against torch MultiheadAttention."""
+    import torch.nn as tnn
+
+    torch.manual_seed(4)
+    width, heads, L = 16, 2, 6
+    mha = tnn.MultiheadAttention(width, heads, batch_first=True).eval()
+    x = torch.randn(1, L, width)
+    with torch.no_grad():
+        expect = mha(x, x, x, need_weights=False)[0].numpy()
+
+    sd = {
+        "m.attn.in_proj_weight": mha.in_proj_weight.detach().numpy(),
+        "m.attn.in_proj_bias": mha.in_proj_bias.detach().numpy(),
+        "m.attn.out_proj.weight": mha.out_proj.weight.detach().numpy(),
+        "m.attn.out_proj.bias": mha.out_proj.bias.detach().numpy(),
+        "m.ln_1.weight": np.ones(width, np.float32),
+        "m.ln_1.bias": np.zeros(width, np.float32),
+        "m.ln_2.weight": np.ones(width, np.float32),
+        "m.ln_2.bias": np.zeros(width, np.float32),
+        "m.mlp.c_fc.weight": np.zeros((width * 4, width), np.float32),
+        "m.mlp.c_fc.bias": np.zeros(width * 4, np.float32),
+        "m.mlp.c_proj.weight": np.zeros((width, width * 4), np.float32),
+        "m.mlp.c_proj.bias": np.zeros(width, np.float32),
+    }
+    layer_params = convert._openai_layer(sd, "m")["attn"]
+    from diffusion_spacetime_attn_tpu.models.clip import CLIPAttention
+
+    attn = CLIPAttention(width, heads)
+    got = np.asarray(
+        attn.apply({"params": layer_params}, jnp.array(x.numpy()))
+    )
+    np.testing.assert_allclose(got, expect, atol=1e-5)
