@@ -33,14 +33,21 @@ def randomize_params_on_device(shapes, rng: jax.Array, scale: float = 0.02):
     """Like randomize_params but generated ON device in one jitted
     executable — no multi-GB host→device transfer (the tunnel makes
     device_put of full-size params take minutes)."""
+    import numpy as _np
+
     leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    sizes = [int(_np.prod(l.shape)) for l in leaves]
+    total = int(sum(sizes))
+    offsets = _np.cumsum([0] + sizes[:-1]).tolist()
 
     @jax.jit
     def gen(key):
-        keys = jax.random.split(key, len(leaves))
+        # ONE random op + cheap slices — compiles in seconds even for
+        # thousand-leaf trees (per-leaf random ops took minutes)
+        flat = jax.random.normal(key, (total,), jnp_float(leaves[0].dtype)) * scale
         return [
-            (jax.random.normal(k, l.shape, jnp_float(l.dtype)) * scale).astype(l.dtype)
-            for k, l in zip(keys, leaves)
+            jax.lax.dynamic_slice(flat, (o,), (s,)).reshape(l.shape).astype(l.dtype)
+            for o, s, l in zip(offsets, sizes, leaves)
         ]
 
     return jax.tree_util.tree_unflatten(treedef, gen(rng))
