@@ -118,11 +118,22 @@ def extract_objects(
     return words, mentions
 
 
-def local_prompt(mention: ObjectMention) -> str:
-    """Per-object local description (reference `plms.py:267-270`:
-    lowercase, strip "the ", prefix "A photo of ")."""
+def local_context_prompt(mention: ObjectMention) -> str:
+    """Per-object ATTENTION context text (reference `txt2img-gpt.py:320`):
+    'a photo of ' + the raw noun phrase."""
+    return "a photo of " + mention.phrase
+
+
+def local_loss_prompt(mention: ObjectMention) -> str:
+    """Per-object CLIP-LOSS text (reference `plms.py:267-270`): lowercase,
+    'the ' stripped, 'A photo of ' prefix — note this differs from the
+    attention-context string above in the reference too."""
     name = mention.phrase.lower().replace("the ", "")
     return "A photo of " + name
+
+
+# backwards-compat alias (loss-side variant)
+local_prompt = local_loss_prompt
 
 
 class LayoutInference:

@@ -29,7 +29,12 @@ import numpy as np
 
 from ..config import SpaceTimeConfig
 from ..ops.attention import SpatialControl
-from .frontend import LayoutInference, extract_objects, local_prompt
+from .frontend import (
+    LayoutInference,
+    extract_objects,
+    local_context_prompt,
+    local_loss_prompt,
+)
 from .losses import DCLIPLoss
 from .pipeline import StableDiffusion
 from .spacetime import SpaceTimeInputs, optimize_prompt
@@ -101,8 +106,10 @@ class PromptRunner:
         for i, m in enumerate(mentions):
             centers[i] = res[m.phrase]
             active[i] = 1.0
-            locals_.append(local_prompt(m))
-            obj_tokens.append(np.asarray(self.clip_tokenize(local_prompt(m)), np.int32))
+            locals_.append(local_context_prompt(m))
+            obj_tokens.append(
+                np.asarray(self.clip_tokenize(local_loss_prompt(m)), np.int32)
+            )
         # pad local prompts with "" so shapes stay fixed
         pad_count = N - len(mentions)
         locals_ += [""] * pad_count
