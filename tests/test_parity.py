@@ -283,3 +283,69 @@ def test_openai_qkv_split_matches_fused():
         attn.apply({"params": layer_params}, jnp.array(x.numpy()))
     )
     np.testing.assert_allclose(got, expect, atol=1e-5)
+
+
+def test_spacetime_controlled_attention_parity_vs_reference(reference_path):
+    """THE core-method oracle: reference `BasicTransformerBlock._forward`
+    with objects (`attention.py:268-300`) vs our controlled SpatialTransformer
+    with converted weights.  The reference loads local contexts from
+    c{i}_fix_radius_0p2_g0.pt files and builds masks at time==981; we feed
+    the same data as explicit SpatialControl operands."""
+    from ldm.modules.attention import SpatialTransformer as RefST
+
+    rng = np.random.RandomState(7)
+    B, N, L, ch, heads, hw = 1, 2, 7, 32, 2, 8
+    ctx_dim = 16
+
+    # per-object local contexts — reference reads (uncond, local) pairs from
+    # disk (attention.py:246-248)
+    uncond_emb = rng.randn(1, L, ctx_dim).astype(np.float32)
+    locals_ = [rng.randn(1, L, ctx_dim).astype(np.float32) for _ in range(N)]
+    torch.save(torch.from_numpy(uncond_emb), "uncond_fix_radius_0p2_g0.pt")
+    for i, l in enumerate(locals_):
+        torch.save(torch.from_numpy(l), f"c{i}_fix_radius_0p2_g0.pt")
+
+    torch.manual_seed(7)
+    st = RefST(in_channels=ch, n_heads=heads, d_head=ch // heads,
+               depth=1, context_dim=ctx_dim).eval()
+    with torch.no_grad():
+        for n, p in st.named_parameters():
+            if p.abs().sum() == 0:
+                p.normal_(0, 0.05)
+    # module was constructed before our uncond file was (re)written; reload
+    st.transformer_blocks[0].uncond = torch.from_numpy(uncond_emb)
+
+    x = rng.randn(2 * B, ch, hw, hw).astype(np.float32)  # (uncond, cond)
+    context = rng.randn(2 * B, L, ctx_dim).astype(np.float32)
+    centers = np.array([[0.3, 0.45], [0.7, 0.6]], np.float32)
+    coef = torch.tensor([1.7, 0.6])
+    with torch.no_grad():
+        expect = st(
+            torch.from_numpy(x), context=torch.from_numpy(context),
+            time=981, text_index=None, coef=coef,
+            bboxs_curr=[list(map(float, c)) for c in centers],
+        ).numpy()
+
+    from diffusion_spacetime_attn_tpu.models.layers import SpatialTransformer
+    from diffusion_spacetime_attn_tpu.ops.attention import SpatialControl
+
+    mine = SpatialTransformer(channels=ch, heads=heads, radius=0.2)
+    params = convert._spatial_transformer(
+        {f"m.{k}": v.float().numpy() for k, v in st.state_dict().items()}, "m"
+    )
+    control = SpatialControl(
+        local_contexts=jnp.array(np.stack([l[0] for l in locals_]))[None],  # [B,N,L,D]
+        centers=jnp.array(centers)[None],
+        coef=jnp.array(coef.numpy())[None],
+        active=jnp.ones((B, N)),
+    )
+    # our context convention: rows [0:B]=uncond, [B:2B]=cond — matches the
+    # (uncond, cond) stacking of x and context above
+    got = mine.apply(
+        {"params": params},
+        jnp.array(np.transpose(x, (0, 2, 3, 1))),
+        jnp.array(context),
+        control,
+    )
+    got = np.transpose(np.asarray(got), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, expect, atol=1e-4)
