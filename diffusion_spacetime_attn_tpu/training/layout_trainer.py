@@ -32,7 +32,9 @@ def _param_group(path_tuple) -> str:
     return "head" if names and names[0] == "head" else "encoder"
 
 
-def make_optimizer(cfg: LayoutTrainConfig, params) -> optax.GradientTransformation:
+def make_optimizer(
+    cfg: LayoutTrainConfig, params, skip_nonfinite: bool = True
+) -> optax.GradientTransformation:
     enc_sched = bert_schedule(
         cfg.encoder_max_lr, 1e-8, cfg.warmup_steps, cfg.hold_steps, cfg.decay_steps
     )
@@ -42,13 +44,19 @@ def make_optimizer(cfg: LayoutTrainConfig, params) -> optax.GradientTransformati
     labels = jax.tree_util.tree_map_with_path(
         lambda path, _: _param_group(path), params
     )
-    return optax.multi_transform(
+    opt = optax.multi_transform(
         {
             "encoder": optax.adam(enc_sched),
             "head": optax.adam(head_sched),
         },
         labels,
     )
+    if skip_nonfinite:
+        # failure detection: skip (don't apply) non-finite update steps —
+        # the principled version of the reference's bare
+        # `try: loss.backward() except: pass` (`trainer/Pretrain.py:262-266`)
+        opt = optax.apply_if_finite(opt, max_consecutive_errors=100)
+    return opt
 
 
 @dataclasses.dataclass

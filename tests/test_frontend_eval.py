@@ -92,3 +92,66 @@ def test_parse_reference_datasets():
     assert len(ms) == 500
     vsr = parse_line_prompts("/root/reference/datasets/vsr.txt")
     assert len(vsr) == 500
+
+
+def test_clip_detector_mechanism():
+    """CLIP sliding-window detector: shapes/protocol (random weights)."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffusion_spacetime_attn_tpu.config import (
+        CLIPConfig,
+        CLIPTextConfig,
+        CLIPVisionConfig,
+    )
+    from diffusion_spacetime_attn_tpu.eval.clip_detector import CLIPDetector
+    from diffusion_spacetime_attn_tpu.models.clip import CLIP
+    from diffusion_spacetime_attn_tpu.utils.testing import randomize_params
+    from diffusion_spacetime_attn_tpu.utils.tokenizer import make_clip_tokenizer
+
+    cfg = CLIPConfig(
+        vision=CLIPVisionConfig(image_size=32, patch_size=16, width=16,
+                                layers=1, heads=2, projection_dim=8),
+        text=CLIPTextConfig(width=16, layers=1, heads=2, vocab_size=49408, max_len=12),
+        projection_dim=8,
+    )
+    clip = CLIP(cfg)
+    params = randomize_params(
+        clip.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                  jnp.zeros((1, 12), jnp.int32))["params"],
+        jax.random.PRNGKey(1), 0.1,
+    )
+    tok = make_clip_tokenizer(max_len=12)
+    det = CLIPDetector(
+        clip, params, lambda t: tok.pad_to(tok.encode(t), 12),
+        categories=["dog", "cat", "car"], scales=(1.0, 0.5),
+    )
+    img = np.random.RandomState(0).rand(64, 64, 3).astype(np.float32)
+    dets = det(img)
+    assert len(dets) == 3  # one top box per category
+    for d in dets:
+        assert d.category in ("dog", "cat", "car")
+        assert 0.0 <= d.score <= 1.0
+        x1, y1, x2, y2 = d.box
+        assert 0 <= x1 < x2 <= 64 and 0 <= y1 < y2 <= 64
+
+
+def test_optimizer_skips_nonfinite():
+    import jax
+    import jax.numpy as jnp
+
+    from diffusion_spacetime_attn_tpu.config import LayoutConfig, LayoutTrainConfig
+    from diffusion_spacetime_attn_tpu.models.layout.model import create_layout_predictor
+    from diffusion_spacetime_attn_tpu.training.layout_trainer import make_optimizer
+
+    cfg = LayoutConfig(vocab_size=100, hidden=32, layers=1, heads=2,
+                       ffn_dim=64, max_positions=40, max_len=8)
+    _, params = create_layout_predictor(cfg, jax.random.PRNGKey(0))
+    opt = make_optimizer(LayoutTrainConfig(), params)
+    state = opt.init(params)
+    bad_grads = jax.tree_util.tree_map(lambda x: jnp.full_like(x, jnp.nan), params)
+    updates, state = opt.update(bad_grads, state, params)
+    # non-finite step is entirely skipped: all updates are zero
+    assert all(
+        np.asarray(u == 0).all() for u in jax.tree_util.tree_leaves(updates)
+    )
