@@ -35,6 +35,10 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    from diffusion_spacetime_attn_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
     import numpy as np
 

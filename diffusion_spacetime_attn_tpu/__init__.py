@@ -13,3 +13,43 @@ Subpackages:
 """
 
 __version__ = "0.1.0"
+
+# Public API (lazy — importing the package must not pull in jax-heavy deps)
+__all__ = [
+    "PipelineConfig",
+    "SpaceTimeConfig",
+    "StableDiffusion",
+    "SpatialControl",
+    "SpaceTimeInputs",
+    "optimize_prompt",
+    "LayoutInference",
+    "PromptRunner",
+]
+
+
+def __getattr__(name):
+    if name in ("PipelineConfig", "SpaceTimeConfig"):
+        from . import config
+
+        return getattr(config, name)
+    if name == "StableDiffusion":
+        from .pipeline.pipeline import StableDiffusion
+
+        return StableDiffusion
+    if name == "SpatialControl":
+        from .ops.attention import SpatialControl
+
+        return SpatialControl
+    if name in ("SpaceTimeInputs", "optimize_prompt"):
+        from .pipeline import spacetime
+
+        return getattr(spacetime, name)
+    if name == "LayoutInference":
+        from .pipeline.frontend import LayoutInference
+
+        return LayoutInference
+    if name == "PromptRunner":
+        from .pipeline.runners import PromptRunner
+
+        return PromptRunner
+    raise AttributeError(name)

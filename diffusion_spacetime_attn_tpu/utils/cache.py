@@ -1,0 +1,17 @@
+"""Persistent XLA compilation cache.
+
+The full 512² pipeline compiles in ~1-10 min and the differentiated
+spacetime chain in ~25 min on this toolchain; the persistent cache makes
+every later process start instant.  Call before the first jit execution.
+"""
+from __future__ import annotations
+
+import os
+
+
+def enable_compilation_cache(path: str = "/tmp/dsta_jax_cache") -> None:
+    import jax
+
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

@@ -34,9 +34,17 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--flash", action="store_true")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument(
+        "--batch-size", type=int, default=1,
+        help=">1 packs prompts into fixed-shape device batches (one compile)",
+    )
     args = ap.parse_args()
 
     import jax
+
+    from diffusion_spacetime_attn_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from diffusion_spacetime_attn_tpu.config import (
@@ -117,19 +125,29 @@ def main():
     log = JsonLogger(os.path.join(args.outdir, "run_log.jsonl"))
 
     end = min(args.end or len(prompts), len(prompts))
+    todo = [i for i in range(args.start, end) if i not in done]
     import time
 
-    for idx in range(args.start, end):
-        if idx in done:
-            continue
+    if args.batch_size > 1:
+        from diffusion_spacetime_attn_tpu.pipeline.batch_runner import BatchedRunner
+
+        br = BatchedRunner(runner, batch_size=args.batch_size)
         t0 = time.perf_counter()
-        img = runner.run_one(prompts[idx], idx, args.seed)
-        log.log(
-            "prompt_done", idx=idx, ok=img is not None,
-            seconds=round(time.perf_counter() - t0, 3),
-        )
-        done.add(idx)
+        produced = br.run(prompts, indices=todo, seed=args.seed, log=log)
+        done.update(todo)
         json.dump({"done": sorted(done)}, open(manifest_path, "w"))
+        log.log("sweep_done", produced=produced,
+                seconds=round(time.perf_counter() - t0, 3))
+    else:
+        for idx in todo:
+            t0 = time.perf_counter()
+            img = runner.run_one(prompts[idx], idx, args.seed)
+            log.log(
+                "prompt_done", idx=idx, ok=img is not None,
+                seconds=round(time.perf_counter() - t0, 3),
+            )
+            done.add(idx)
+            json.dump({"done": sorted(done)}, open(manifest_path, "w"))
     print(f"sweep complete: {len(done)} prompts")
 
 

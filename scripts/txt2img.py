@@ -38,6 +38,10 @@ def main():
     import dataclasses
 
     import jax
+
+    from diffusion_spacetime_attn_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
     import numpy as np
 
