@@ -108,3 +108,21 @@ def test_batched_vanilla(runner):
     produced = br.run(PROMPTS[:2], indices=[0, 1], seed=7)
     assert produced == 2
     runner.mode = "spacetime"
+
+
+def test_batched_matches_sequential(runner):
+    """Batching must be semantics-preserving: same prompt → same image."""
+    import numpy as np
+    from PIL import Image
+
+    runner.mode = "vanilla"
+    br = BatchedRunner(runner, batch_size=2)  # prompt 0 + one pad slot
+    br.run(PROMPTS, indices=[0], seed=3)
+    batched = np.asarray(
+        Image.open(os.path.join(runner.outdir, "final0_s3_index_0.png"))
+    )
+    seq = runner.run_one(PROMPTS[0], 0, seed=3)
+    sequential = (np.asarray(seq) * 255).clip(0, 255).astype(np.uint8)
+    runner.mode = "spacetime"
+    # identical up to PNG quantization
+    assert np.abs(batched.astype(int) - sequential.astype(int)).max() <= 1

@@ -115,3 +115,16 @@ def test_grads_masked_for_padded_objects(setup):
     # padded object's weights must not move (zero mask ⇒ zero grad)
     np.testing.assert_allclose(np.asarray(coef)[0, 1], 0.0, atol=1e-7)
     assert np.isfinite(float(l))
+
+
+def test_optimize_with_dpm_sampler(setup):
+    """The DPM-Solver surface works under the temporal optimization too
+    (unlike the reference, where DPM-Solver is incompatible with the
+    modified model signature — SURVEY §2.1 'stock samplers')."""
+    sd, loss, inputs, st_cfg = setup
+    import dataclasses as dc
+
+    cfg1 = dc.replace(st_cfg, epochs=1)
+    images, coef, losses = optimize_prompt(sd, loss, inputs, cfg1, sampler="dpm")
+    assert np.all(np.isfinite(np.asarray(images)))
+    assert np.all(np.isfinite(np.asarray(losses)))
