@@ -124,6 +124,50 @@ def parse_gpt_ground_truth(path: str) -> Tuple[List[List[str]], List[List[Tuple[
     return objects, relations
 
 
+def parse_pkl_ground_truth(path: str):
+    """GT from `datasets/{mscoco,vsr}.pkl`: rows
+    [caption, words, obj_word_indices, relations_or_None, noun_phrases]
+    (`evaluation/relation_result_vsr.py:141-163`,
+    `detector_result_mscoco.py`).  Objects = COCO category head of each noun
+    phrase; relations normalized ("at the right side of" → "right of")."""
+    import pickle
+
+    from ..pipeline.frontend import COCO_CATEGORIES
+
+    def head_category(phrase: str) -> Optional[str]:
+        low = phrase.lower()
+        for cat in sorted(COCO_CATEGORIES, key=len, reverse=True):
+            if low.endswith(cat) or f" {cat} " in f" {low} ":
+                return cat
+        return None
+
+    with open(path, "rb") as f:
+        rows = pickle.load(f)
+    objects, relations = [], []
+    for row in rows:
+        phrases = row[4] or []
+        cats = [head_category(p) or p.lower().split()[-1] for p in phrases]
+        objects.append(cats)
+        obj_word_idx = list(row[2] or [])
+        rels = []
+        for trip in row[3] or []:
+            rel = trip[2]
+            if rel == "at the right side of":
+                rel = "right of"
+            if rel == "at the left side of":
+                rel = "left of"
+            if rel not in ("above", "below", "left of", "right of"):
+                continue
+            try:
+                a = cats[obj_word_idx.index(trip[0])]
+                b = cats[obj_word_idx.index(trip[1])]
+            except ValueError:
+                continue
+            rels.append((a, b, rel))
+        relations.append(rels)
+    return objects, relations
+
+
 def result_index(filename: str) -> Optional[int]:
     """prompt index from `final2_s1_index_{i}.png` naming."""
     m = re.match(r"final\d+_s\d+_index_(\d+)\.png$", os.path.basename(filename))

@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--results", default="result_outputs")
-    ap.add_argument("--dataset", choices=["gpt"], default="gpt")
+    ap.add_argument("--dataset", choices=["gpt", "mscoco", "vsr"], default="gpt")
     ap.add_argument("--data-root", default="/root/reference/datasets")
     ap.add_argument("--detections", default=None, help="detections JSON")
     ap.add_argument("--conf-recall", type=float, default=0.4)
@@ -33,13 +33,19 @@ def main():
         Detection,
         object_recall,
         parse_gpt_ground_truth,
+        parse_pkl_ground_truth,
         relation_accuracy,
         result_index,
     )
 
-    gt_objects, gt_relations = parse_gpt_ground_truth(
-        os.path.join(args.data_root, "gpt.txt")
-    )
+    if args.dataset == "gpt":
+        gt_objects, gt_relations = parse_gpt_ground_truth(
+            os.path.join(args.data_root, "gpt.txt")
+        )
+    else:
+        gt_objects, gt_relations = parse_pkl_ground_truth(
+            os.path.join(args.data_root, f"{args.dataset}.pkl")
+        )
 
     files = sorted(
         f for f in os.listdir(args.results) if result_index(f) is not None
@@ -100,7 +106,14 @@ def main():
             tok.tokenize if hasattr(tok, "tokenize")
             else (lambda t: tok.pad_to(tok.encode(t), 77))
         )
-        prompts = parse_gpt_prompts(os.path.join(args.data_root, "gpt.txt"))
+        if args.dataset == "gpt":
+            prompts = parse_gpt_prompts(os.path.join(args.data_root, "gpt.txt"))
+        else:
+            from diffusion_spacetime_attn_tpu.pipeline.runners import parse_line_prompts
+
+            prompts = parse_line_prompts(
+                os.path.join(args.data_root, f"{args.dataset}.txt")
+            )
         scores = []
         for f, idx in zip(files, indices):
             img = np.asarray(
