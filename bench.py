@@ -29,7 +29,7 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--mode", choices=["vanilla", "spatial", "spacetime"], default="vanilla")
     ap.add_argument("--dtype", default="bfloat16")
-    ap.add_argument("--batch", type=int, default=4, help="prompts per step (4 = measured sweet spot on v5e)")
+    ap.add_argument("--batch", type=int, default=6, help="prompts per step (6 = measured sweet spot on v5e: 63.7 img/min)")
     ap.add_argument("--flash", action="store_true", help="Pallas flash self-attention")
     ap.add_argument("--params-dtype", default="float32", help="cast params (e.g. bfloat16)")
     args = ap.parse_args()
@@ -44,7 +44,6 @@ def main():
 
     from diffusion_spacetime_attn_tpu.config import (
         PipelineConfig,
-        ScheduleConfig,
         SpaceTimeConfig,
         UNetConfig,
         VAEConfig,
@@ -52,7 +51,6 @@ def main():
     from diffusion_spacetime_attn_tpu.ops.attention import SpatialControl
     from diffusion_spacetime_attn_tpu.ops.schedule import make_schedule
     from diffusion_spacetime_attn_tpu.pipeline.pipeline import StableDiffusion
-    from diffusion_spacetime_attn_tpu.utils.testing import randomize_params
 
     cfg = PipelineConfig(
         unet=UNetConfig(dtype=args.dtype, use_flash=args.flash),

@@ -31,7 +31,6 @@ from .spacetime import (
     init_coef,
     make_train_step,
     model_params,
-    optimize_prompt,
 )
 
 

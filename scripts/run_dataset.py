@@ -48,7 +48,6 @@ def main():
     import jax.numpy as jnp
 
     from diffusion_spacetime_attn_tpu.config import (
-        CLIPConfig,
         LayoutConfig,
         PipelineConfig,
         SpaceTimeConfig,
