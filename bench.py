@@ -29,7 +29,7 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--mode", choices=["vanilla", "spatial", "spacetime"], default="vanilla")
     ap.add_argument("--dtype", default="bfloat16")
-    ap.add_argument("--batch", type=int, default=6, help="prompts per step (6 = measured sweet spot on v5e: 63.7 img/min)")
+    ap.add_argument("--batch", type=int, default=7, help="prompts per step (7 = measured sweet spot on v5e: 67.6 img/min; 8 spills HBM)")
     ap.add_argument("--flash", action="store_true", help="Pallas flash self-attention")
     ap.add_argument("--params-dtype", default="float32", help="cast params (e.g. bfloat16)")
     args = ap.parse_args()
