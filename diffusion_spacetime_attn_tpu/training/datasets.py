@@ -131,6 +131,85 @@ def batches(
             )
 
 
+def load_coco_caption_examples(
+    instances_path: str,
+    captions_path: str,
+    min_objects: int = 3,
+    max_objects: int = 8,
+    min_area_frac: float = 0.02,
+    max_images: Optional[int] = None,
+) -> List[LayoutExample]:
+    """Absolute-target examples from raw COCO annotation JSONs.
+
+    This restores the second half of the reference's training epoch
+    (`COCODataset.py:341-366`: real captions with absolute (x, y) GT) —
+    dead in the reference because its preprocessed
+    `parsed_caption_label_dict.pkl` blob is missing
+    (`.MISSING_LARGE_BLOBS:5`).  Filters mirror `COCODataset.py:219-250`:
+    object area > min_area_frac of the image, 3–8 objects per image.
+    Object words are matched to annotated categories by name mention.
+
+    Uses stdlib json (pycocotools is not required for this subset).
+    """
+    import json as _json
+
+    from ..pipeline.frontend import simple_words
+
+    with open(instances_path) as f:
+        inst = _json.load(f)
+    with open(captions_path) as f:
+        caps = _json.load(f)
+
+    cat_name = {c["id"]: c["name"] for c in inst["categories"]}
+    img_size = {i["id"]: (i["width"], i["height"]) for i in inst["images"]}
+    objects_by_img = {}
+    for a in inst["annotations"]:
+        w, h = img_size[a["image_id"]]
+        bx, by, bw, bh = a["bbox"]
+        if bw * bh < min_area_frac * w * h:
+            continue
+        objects_by_img.setdefault(a["image_id"], []).append(
+            (cat_name[a["category_id"]], (bx + bw / 2) / w, (by + bh / 2) / h)
+        )
+    caption_by_img = {}
+    for a in caps["annotations"]:
+        caption_by_img.setdefault(a["image_id"], a["caption"])
+
+    out = []
+    for img_id, objs in objects_by_img.items():
+        if not (min_objects <= len(objs) <= max_objects):
+            continue
+        caption = caption_by_img.get(img_id)
+        if not caption:
+            continue
+        words = simple_words(caption)
+        low = [w.lower() for w in words]
+        abs_xy, used = [], set()
+        for name, cx, cy in objs:
+            head = name.split()[-1]
+            for wi, w in enumerate(low):
+                if wi in used:
+                    continue
+                if w == head or w == head + "s" or w == head + "es":
+                    abs_xy.append((wi, cx, cy))
+                    used.add(wi)
+                    break
+        if not abs_xy:
+            continue
+        out.append(
+            LayoutExample(
+                caption=caption,
+                words=words,
+                object_word_idx=[a[0] for a in abs_xy],
+                relations=[],
+                abs_xy=abs_xy,
+            )
+        )
+        if max_images and len(out) >= max_images:
+            break
+    return out
+
+
 def synthetic_examples(n: int, rng: np.random.RandomState) -> List[LayoutExample]:
     """Tiny synthetic relation corpus for tests: 'the A is REL the B'."""
     nouns = ["dog", "cat", "car", "tree", "bird", "cup", "chair", "lamp"]
