@@ -23,6 +23,10 @@ def main():
     ap.add_argument("--val-split", type=float, default=0.1)
     ap.add_argument("--log-every", type=int, default=100)
     ap.add_argument("--synthetic", action="store_true", help="use synthetic corpus")
+    ap.add_argument("--coco-instances", default=None,
+                    help="COCO instances JSON (adds absolute-target half)")
+    ap.add_argument("--coco-captions", default=None,
+                    help="COCO captions JSON")
     args = ap.parse_args()
 
     import jax
@@ -47,6 +51,18 @@ def main():
         examples = synthetic_examples(512, rng)
     else:
         examples = load_gpt3_examples(args.gpt3_pkl)
+        if args.coco_instances and args.coco_captions:
+            from diffusion_spacetime_attn_tpu.training.datasets import (
+                load_coco_caption_examples,
+            )
+
+            coco = load_coco_caption_examples(
+                args.coco_instances, args.coco_captions,
+                max_images=len(examples),
+            )
+            logger_msg = f"added {len(coco)} COCO absolute-target examples"
+            print(logger_msg)
+            examples = examples + coco
     n_val = int(len(examples) * args.val_split)
     val, train = examples[:n_val], examples[n_val:]
     logger.info(f"{len(train)} train / {len(val)} val examples")
