@@ -1,0 +1,74 @@
+"""Mesh/sharding: TP-sharded params must be numerically identical to
+replicated execution, with collectives inserted by GSPMD."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_spacetime_attn_tpu.config import UNetConfig
+from diffusion_spacetime_attn_tpu.models.unet import UNet
+from diffusion_spacetime_attn_tpu.parallel.mesh import (
+    data_sharding,
+    make_mesh,
+    shard_batch,
+)
+from diffusion_spacetime_attn_tpu.parallel.sharding import (
+    partition_specs,
+    shard_params,
+)
+from diffusion_spacetime_attn_tpu.utils.testing import randomize_params
+
+TINY = UNetConfig(
+    model_channels=32, channel_mult=(1, 2), num_res_blocks=1,
+    attention_resolutions=(1, 2), num_heads=2, context_dim=16,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    unet = UNet(TINY)
+    x = jnp.array(np.random.RandomState(0).randn(4, 16, 16, 4), jnp.float32)
+    t = jnp.full((4,), 981, jnp.int32)
+    ctx = jnp.array(np.random.RandomState(1).randn(4, 7, 16), jnp.float32)
+    params = unet.init(jax.random.PRNGKey(0), x, t, ctx)["params"]
+    params = randomize_params(params, jax.random.PRNGKey(1))
+    return unet, params, x, t, ctx
+
+
+def test_partition_specs_rules(setup):
+    _, params, *_ = setup
+    specs = partition_specs(params)
+    flat = {
+        "/".join(str(k.key) for k in path): spec
+        for path, spec in jax.tree_util.tree_flatten_with_path(specs)[0]
+    }
+    # attention qkv column-parallel, out row-parallel
+    qk = [k for k in flat if k.endswith("attn1/to_q/kernel")]
+    assert qk and all(flat[k] == jax.sharding.PartitionSpec(None, "model") for k in qk)
+    ok = [k for k in flat if k.endswith("attn1/to_out/kernel")]
+    assert ok and all(flat[k] == jax.sharding.PartitionSpec("model", None) for k in ok)
+    # conv kernels replicated
+    ck = [k for k in flat if k.endswith("in_conv/kernel")]
+    assert ck and all(flat[k] == jax.sharding.PartitionSpec() for k in ck)
+
+
+def test_tp_sharded_forward_matches_replicated(setup):
+    unet, params, x, t, ctx = setup
+    expect = np.asarray(unet.apply({"params": params}, x, t, ctx))
+
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    with mesh:
+        sp = shard_params(mesh, params, model_axis_size=2)
+        xs = jax.device_put(x, data_sharding(mesh, x.ndim))
+        fn = jax.jit(lambda p, x, t, c: unet.apply({"params": p}, x, t, c))
+        got = np.asarray(fn(sp, xs, t, ctx))
+    np.testing.assert_allclose(got, expect, atol=2e-5)
+
+
+def test_shard_batch_places_on_data_axis(setup):
+    _, _, x, *_ = setup
+    mesh = make_mesh(data=4, model=2, devices=jax.devices())
+    tree = {"a": x, "b": jnp.ones((4, 3))}
+    sharded = shard_batch(mesh, tree)
+    for leaf in jax.tree_util.tree_leaves(sharded):
+        assert leaf.sharding.spec[0] == "data"
