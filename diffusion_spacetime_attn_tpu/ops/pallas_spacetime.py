@@ -39,7 +39,10 @@ def _kernel(coef_ref, q_ref, gu_ref, kc_ref, vc_ref, lk_ref, lv_ref, m_ref,
             out_ref, *, num_objects: int, kv_len: int, scale: float):
     """Grid: (B, H, Lq // blk_q).  Block shapes:
     q/gu/out [1, 1, blk_q, dh]; kc/vc [1, 1, LK_PAD, dh];
-    lk/lv [1, N, 1, LK_PAD, dh]; m [1, N, blk_q]; coef (SMEM) [1, N]."""
+    lk/lv [1, N, 1, LK_PAD, dh]; m [1, N, blk_q]; coef (SMEM) [B, N] —
+    the full array (TPU SMEM blocks must equal the array dims), indexed by
+    the batch program id."""
+    b = pl.program_id(0)
     q = q_ref[0, 0].astype(jnp.float32)           # [blk_q, dh]
     blk_q = q.shape[0]
 
@@ -67,7 +70,7 @@ def _kernel(coef_ref, q_ref, gu_ref, kc_ref, vc_ref, lk_ref, lv_ref, m_ref,
     gu = gu_ref[0, 0].astype(jnp.float32)
     wsum = jnp.zeros((blk_q, 1), jnp.float32)
     for n in range(num_objects):
-        w = (m_ref[0, n].astype(jnp.float32) * coef_ref[0, n])[:, None]
+        w = (m_ref[0, n].astype(jnp.float32) * coef_ref[b, n])[:, None]
         loc = attend(lk_ref[0, n, 0], lv_ref[0, n, 0])
         out = out + w * loc
         wsum = wsum + w
@@ -111,7 +114,7 @@ def _forward(q_c, g_u, kc, vc, lk, lv, masks, coef, num_heads, interpret=False):
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, N), lambda b, h, i: (b, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, N), lambda b, h, i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, blk_q, dh), lambda b, h, i: (b, h, i, 0)),
             pl.BlockSpec((1, 1, blk_q, dh), lambda b, h, i: (b, h, i, 0)),
             pl.BlockSpec((1, 1, LK_PAD, dh), lambda b, h, i: (b, h, 0, 0)),
