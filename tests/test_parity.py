@@ -95,8 +95,11 @@ def reference_path(tmp_path_factory):
     import types
 
     if "torchvision" not in sys.modules:
+        import importlib.machinery
+
         tv = types.ModuleType("torchvision")
         tv.io = types.SimpleNamespace(write_png=lambda *a, **k: None)
+        tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", None)
         sys.modules["torchvision"] = tv
     if "omegaconf" not in sys.modules:
         oc = types.ModuleType("omegaconf")
