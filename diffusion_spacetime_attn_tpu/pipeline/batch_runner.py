@@ -34,13 +34,6 @@ from .spacetime import (
 )
 
 
-def _stack(inputs: List[SpaceTimeInputs]) -> SpaceTimeInputs:
-    return SpaceTimeInputs(
-        *[jnp.concatenate([getattr(i, f) for i in inputs], axis=0)
-          for f in SpaceTimeInputs._fields]
-    )
-
-
 @dataclasses.dataclass
 class BatchedRunner:
     """Wraps a PromptRunner with fixed-size batching and optional mesh
@@ -50,26 +43,19 @@ class BatchedRunner:
     batch_size: int = 4
     mesh: Optional[object] = None  # jax.sharding.Mesh
 
-    def _dummy_inputs(self, seed: int) -> SpaceTimeInputs:
-        """Inactive filler prompt (empty caption, no objects)."""
-        inp = self.runner.build_inputs("", seed)
-        if inp is not None:
-            return inp
-        # build_inputs returns None without objects — construct directly
-        cfg = self.runner.cfg
-        N, lat = cfg.max_objects, cfg.latent_size
-        uncond = self.runner._uncond()
-        L, D = uncond.shape[1], uncond.shape[2]
-        Lc = len(self.runner.clip_tokenize(""))
-        return SpaceTimeInputs(
-            cond=uncond,
-            uncond=uncond,
-            local_contexts=jnp.zeros((1, N, L, D)),
-            centers=jnp.full((1, N, 2), 0.5),
-            active=jnp.zeros((1, N)),
-            caption_tokens=jnp.zeros((1, Lc), jnp.int32),
-            object_tokens=jnp.zeros((1, N, Lc), jnp.int32),
-            x_T=jax.random.normal(jax.random.PRNGKey(seed), (1, lat, lat, 4)),
+    def _dummy_host(self) -> dict:
+        """Inactive filler slot (empty caption, no objects; active = 0 so
+        all blends and losses are exact no-ops)."""
+        r = self.runner
+        N = r.cfg.max_objects
+        empty = np.asarray(r.clip_tokenize(""), np.int32)
+        return dict(
+            centers=np.full((N, 2), 0.5, np.float32),
+            active=np.zeros(N, np.float32),
+            local_texts=[""] * N,
+            obj_tokens=np.stack([empty] * N),
+            caption_tokens=empty,
+            prompt="",
         )
 
     def run(
@@ -95,20 +81,21 @@ class BatchedRunner:
         for s in range(0, len(indices), B):
             chunk = indices[s : s + B]
             t0 = time.perf_counter()
-            built, ok_idx = [], []
+            hosts, ok_idx = [], []
             for idx in chunk:
-                inp = r.build_inputs(prompts[idx], seed)
-                if inp is None:
+                h = r.prepare_host(prompts[idx])
+                if h is None:
                     print(f"[skip] no layout for prompt {idx}")
-                    built.append(self._dummy_inputs(seed))
+                    hosts.append(self._dummy_host())
                     ok_idx.append(None)
                 else:
-                    built.append(inp)
+                    hosts.append(h)
                     ok_idx.append(idx)
-            while len(built) < B:  # tail padding
-                built.append(self._dummy_inputs(seed))
+            while len(hosts) < B:  # tail padding
+                hosts.append(self._dummy_host())
                 ok_idx.append(None)
-            batch = _stack(built)
+            # single text-encoder call for the whole chunk
+            batch = r.assemble_inputs(hosts, seed)
             if self.mesh is not None:
                 batch = shard_batch(self.mesh, batch)
 

@@ -92,6 +92,68 @@ class PromptRunner:
             self._cached_uncond = self._encode([""])
         return self._cached_uncond
 
+    def prepare_host(self, prompt: str):
+        """Host-only stage: layout + tokenization (no device work).
+        Returns None if layout fails, else a dict of numpy arrays + texts."""
+        cfg = self.cfg
+        N = cfg.max_objects
+        res = self.layout(prompt)
+        words, mentions = extract_objects(prompt)
+        if not res or not mentions:
+            return None
+        mentions = mentions[:N]
+        centers = np.zeros((N, 2), np.float32)
+        active = np.zeros(N, np.float32)
+        local_texts, obj_tokens = [], []
+        for i, m in enumerate(mentions):
+            centers[i] = res[m.phrase]
+            active[i] = 1.0
+            local_texts.append(local_context_prompt(m))
+            obj_tokens.append(
+                np.asarray(self.clip_tokenize(local_loss_prompt(m)), np.int32)
+            )
+        pad = N - len(mentions)
+        local_texts += [""] * pad
+        obj_tokens += [np.asarray(self.clip_tokenize(""), np.int32)] * pad
+        return dict(
+            centers=centers,
+            active=active,
+            local_texts=local_texts,
+            obj_tokens=np.stack(obj_tokens),
+            caption_tokens=np.asarray(self.clip_tokenize(prompt), np.int32),
+            prompt=prompt,
+        )
+
+    def assemble_inputs(self, hosts, seed: int) -> SpaceTimeInputs:
+        """Device stage for a CHUNK of prepare_host outputs: ONE text-encoder
+        call for all captions + locals (tunnel round-trips are expensive)."""
+        cfg = self.cfg
+        N = cfg.max_objects
+        B = len(hosts)
+        texts = [h["prompt"] for h in hosts]
+        for h in hosts:
+            texts += h["local_texts"]
+        embeds = self._encode(texts)
+        cond = embeds[:B]
+        locals_ = embeds[B:].reshape(B, N, embeds.shape[1], embeds.shape[2])
+        lat = cfg.latent_size
+        x_T = jnp.concatenate(
+            [
+                jax.random.normal(jax.random.PRNGKey(seed), (1, lat, lat, 4))
+                for _ in range(B)
+            ]
+        )
+        return SpaceTimeInputs(
+            cond=cond,
+            uncond=jnp.tile(self._uncond(), (B, 1, 1)),
+            local_contexts=locals_,
+            centers=jnp.array(np.stack([h["centers"] for h in hosts])),
+            active=jnp.array(np.stack([h["active"] for h in hosts])),
+            caption_tokens=jnp.array(np.stack([h["caption_tokens"] for h in hosts])),
+            object_tokens=jnp.array(np.stack([h["obj_tokens"] for h in hosts])),
+            x_T=x_T,
+        )
+
     def build_inputs(self, prompt: str, seed: int) -> Optional[SpaceTimeInputs]:
         cfg = self.cfg
         N = cfg.max_objects
