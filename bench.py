@@ -34,6 +34,7 @@ def main():
     ap.add_argument("--fused-control", action="store_true",
                     help="fused Pallas spacetime cross-attention kernel")
     ap.add_argument("--params-dtype", default="float32", help="cast params (e.g. bfloat16)")
+    ap.add_argument("--sampler", choices=["plms", "ddim", "dpm"], default="plms")
     args = ap.parse_args()
 
     import jax
@@ -109,7 +110,7 @@ def main():
             s = dc.replace(sd, unet_params=ps[0], vae_params=ps[1])
             eps_fn = s.make_eps_fn(cond, uncond, 7.5, control, coef)
             z = s.sample_from(eps_fn, jax.random.normal(
-                rng_key, (B, 64, 64, 4), jnp.float32), "plms", remat=True)
+                rng_key, (B, 64, 64, 4), jnp.float32), args.sampler, remat=True)
             img = s.decode_latents(z)
             return jnp.sum(img)
 
@@ -120,7 +121,7 @@ def main():
             s = dc.replace(sd, unet_params=ps[0], vae_params=ps[1])
             eps_fn = s.make_eps_fn(cond, uncond, 7.5, control, coef)
             z = s.sample_from(eps_fn, jax.random.normal(
-                rng_key, (B, 64, 64, 4), jnp.float32), "plms", remat=False)
+                rng_key, (B, 64, 64, 4), jnp.float32), args.sampler, remat=False)
             return s.decode_latents(z)
 
         fn = jax.jit(run)
@@ -143,7 +144,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"512px_images_per_min_per_chip_plms{args.steps}_{args.mode}",
+                "metric": f"512px_images_per_min_per_chip_{args.sampler}{args.steps}_{args.mode}",
                 "value": round(value, 3),
                 "unit": "img/min/chip",
                 "vs_baseline": round(value / GPU_REFERENCE_IMG_PER_MIN, 3),
