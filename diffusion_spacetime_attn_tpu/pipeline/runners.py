@@ -155,46 +155,10 @@ class PromptRunner:
         )
 
     def build_inputs(self, prompt: str, seed: int) -> Optional[SpaceTimeInputs]:
-        cfg = self.cfg
-        N = cfg.max_objects
-        res = self.layout(prompt)
-        words, mentions = extract_objects(prompt)
-        if not res or not mentions:
+        host = self.prepare_host(prompt)
+        if host is None:
             return None
-        mentions = mentions[:N]
-        centers = np.zeros((N, 2), np.float32)
-        active = np.zeros(N, np.float32)
-        locals_, obj_tokens = [], []
-        for i, m in enumerate(mentions):
-            centers[i] = res[m.phrase]
-            active[i] = 1.0
-            locals_.append(local_context_prompt(m))
-            obj_tokens.append(
-                np.asarray(self.clip_tokenize(local_loss_prompt(m)), np.int32)
-            )
-        # pad local prompts with "" so shapes stay fixed
-        pad_count = N - len(mentions)
-        locals_ += [""] * pad_count
-        obj_tokens += [np.asarray(self.clip_tokenize(""), np.int32)] * pad_count
-
-        cond = self._encode([prompt])
-        local_ctx = self._encode(locals_)[None]  # [1, N, L, D]
-        lat = cfg.latent_size
-        x_T = jax.random.normal(
-            jax.random.PRNGKey(seed), (1, lat, lat, 4), jnp.float32
-        )
-        return SpaceTimeInputs(
-            cond=cond,
-            uncond=self._uncond(),
-            local_contexts=local_ctx,
-            centers=jnp.array(centers)[None],
-            active=jnp.array(active)[None],
-            caption_tokens=jnp.array(
-                np.asarray(self.clip_tokenize(prompt), np.int32)
-            )[None],
-            object_tokens=jnp.array(np.stack(obj_tokens))[None],
-            x_T=x_T,
-        )
+        return self.assemble_inputs([host], seed)
 
     def run_one(self, prompt: str, idx: int, seed: int = 1) -> Optional[np.ndarray]:
         inputs = self.build_inputs(prompt, seed)
