@@ -67,7 +67,7 @@ class PromptRunner:
     """Runs one prompt set through the chosen pipeline mode."""
 
     sd: StableDiffusion
-    clip_loss: DCLIPLoss
+    clip_loss: Optional[DCLIPLoss]   # required only for mode="spacetime"
     layout: LayoutInference
     clip_tokenize: Callable[[str], Sequence[int]]   # ViT-B/32 tokens (loss)
     text_tokenize: Callable[[str], Sequence[int]]   # ViT-L/14 tokens (cond)
@@ -185,6 +185,8 @@ class PromptRunner:
             z = self.sd.sample_from(eps, inputs.x_T, "plms", remat=False)
             images = self.sd.decode_latents(z)
         else:
+            if self.clip_loss is None:
+                raise ValueError("spacetime mode requires a DCLIPLoss (clip_loss=None)")
             if self._train_step is None:
                 from .spacetime import make_train_step
 

@@ -87,20 +87,24 @@ def main():
         spacetime=SpaceTimeConfig(num_steps=args.steps),
     )
     sd = load_stable_diffusion(cfg, args.ckpt)
-    clip_model = CLIP(cfg.loss_clip)
-    if args.clip_ckpt:
-        clip_params = convert.convert_openai_clip(
-            convert.load_torch_checkpoint(args.clip_ckpt)
-        )
-    else:
-        clip_params = randomize_params(
-            jax.eval_shape(
-                clip_model.init, jax.random.PRNGKey(0),
-                jnp.zeros((1, 224, 224, 3)), jnp.zeros((1, 77), jnp.int32),
-            )["params"],
-            jax.random.PRNGKey(9),
-        )
-    clip_loss = DCLIPLoss(clip_model, clip_params)
+    clip_loss = None
+    if args.mode == "spacetime":
+        # the DCLIP loss model is only on the tape in spacetime mode; keep
+        # it off-chip otherwise (HBM headroom for larger prompt batches)
+        clip_model = CLIP(cfg.loss_clip)
+        if args.clip_ckpt:
+            clip_params = convert.convert_openai_clip(
+                convert.load_torch_checkpoint(args.clip_ckpt)
+            )
+        else:
+            clip_params = randomize_params(
+                jax.eval_shape(
+                    clip_model.init, jax.random.PRNGKey(0),
+                    jnp.zeros((1, 224, 224, 3)), jnp.zeros((1, 77), jnp.int32),
+                )["params"],
+                jax.random.PRNGKey(9),
+            )
+        clip_loss = DCLIPLoss(clip_model, clip_params)
     lcfg = LayoutConfig()
     lmodel, lparams = load_layout_predictor(lcfg, args.layout_ckpt)
     layout = LayoutInference(lmodel, lparams, make_roberta_tokenizer(), lcfg.max_len)
