@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--batch", type=int, default=7, help="prompts per step (7 = measured sweet spot on v5e: 67.6 img/min; 8 spills HBM)")
     ap.add_argument("--flash", action="store_true", help="Pallas flash self-attention")
+    ap.add_argument("--q-chunk", type=int, default=0,
+                    help=">0: query-chunked long self-attention (enables batch>7)")
     ap.add_argument("--fused-control", action="store_true",
                     help="fused Pallas spacetime cross-attention kernel")
     ap.add_argument("--params-dtype", default="float32", help="cast params (e.g. bfloat16)")
@@ -57,7 +59,8 @@ def main():
 
     cfg = PipelineConfig(
         unet=UNetConfig(dtype=args.dtype, use_flash=args.flash,
-                        use_fused_control=args.fused_control),
+                        use_fused_control=args.fused_control,
+                        attn_q_chunk=args.q_chunk),
         vae=VAEConfig(dtype=args.dtype),
         spacetime=SpaceTimeConfig(num_steps=args.steps),
     )

@@ -33,6 +33,10 @@ class UNetConfig:
     use_flash: bool = False
     # fuse the blended global+local cross-attention into one Pallas kernel
     use_fused_control: bool = False
+    # >0: compute long self-attention in query chunks of this size (identical
+    # numerics, O(q_chunk·Lk) score memory instead of O(Lq·Lk)) — lifts the
+    # level-0 [B,H,4096,4096] f32 score tensor that caps vanilla batch at 7
+    attn_q_chunk: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -154,6 +158,29 @@ class LayoutTrainConfig:
     gmm_loss_weight: float = 0.1        # `Pretrain.py:262-266`
     hinge_margin: float = 0.2           # `loss.py:315-333`
     checkpoint_every: int = 10          # epochs
+
+
+@dataclasses.dataclass(frozen=True)
+class LDMTrainConfig:
+    """UNet (latent-diffusion) training hyperparameters (reference:
+    `main.py:674-689` LR scaling, `ddpm.py:55-113` loss/EMA knobs,
+    `ddpm.py:1379-1388` AdamW)."""
+
+    batch_size: int = 4                  # per-device
+    base_lr: float = 1e-4
+    scale_lr: bool = True                # lr = accum × ndev × batch × base_lr
+    accum_steps: int = 1                 # accumulate_grad_batches
+    weight_decay: float = 1e-2           # reference uses bare torch AdamW
+                                         # (`ddpm.py:1388`) whose default wd=1e-2
+    grad_clip_norm: float = 0.0          # Lightning default: no clipping
+    use_ema: bool = True                 # `ddpm.py:88-90`
+    ema_decay: float = 0.9999            # LitEma default
+    parameterization: str = "eps"        # "eps" | "x0"
+    loss_type: str = "l2"                # `ddpm.py:279-292`
+    l_simple_weight: float = 1.0
+    original_elbo_weight: float = 0.0
+    learn_logvar: bool = False
+    logvar_init: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

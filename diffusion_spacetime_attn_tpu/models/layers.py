@@ -72,6 +72,7 @@ class CrossAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     flash: bool = False
     fused_control: bool = False
+    q_chunk: int = 0
 
     def setup(self):
         inner = self.query_dim
@@ -85,7 +86,7 @@ class CrossAttention(nn.Module):
         q = self.to_q(x)
         k = self.to_k(context)
         v = self.to_v(context)
-        out = attention(q, k, v, self.heads, flash=self.flash)
+        out = attention(q, k, v, self.heads, flash=self.flash, q_chunk=self.q_chunk)
         return self.to_out(out)
 
     def controlled(self, x, context, control: Optional[SpatialControl], radius: float):
@@ -115,12 +116,13 @@ class BasicTransformerBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     flash: bool = False
     fused_control: bool = False
+    q_chunk: int = 0
 
     @nn.compact
     def __call__(self, x, context, control: Optional[SpatialControl] = None):
         attn1 = CrossAttention(
             self.dim, heads=self.heads, dtype=self.dtype, flash=self.flash,
-            name="attn1",
+            q_chunk=self.q_chunk, name="attn1",
         )
         attn2 = CrossAttention(
             self.dim, context_dim=context.shape[-1], heads=self.heads,
@@ -148,6 +150,7 @@ class SpatialTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     flash: bool = False
     fused_control: bool = False
+    q_chunk: int = 0
 
     @nn.compact
     def __call__(self, x, context, control=None):
@@ -159,7 +162,8 @@ class SpatialTransformer(nn.Module):
             h = BasicTransformerBlock(
                 self.channels, self.heads, radius=self.radius,
                 dtype=self.dtype, flash=self.flash,
-                fused_control=self.fused_control, name=f"block_{d}",
+                fused_control=self.fused_control, q_chunk=self.q_chunk,
+                name=f"block_{d}",
             )(h, context, control)
         h = h.reshape(B, H, W, self.channels)
         h = nn.Conv(

@@ -68,6 +68,7 @@ class UNet(nn.Module):
                 dtype=dtype,
                 flash=cfg.use_flash,
                 fused_control=cfg.use_fused_control,
+                q_chunk=cfg.attn_q_chunk,
                 name=name,
             )
 

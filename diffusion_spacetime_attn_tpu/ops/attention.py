@@ -75,16 +75,29 @@ def flash_attention(q, k, v, num_heads: int):
     return jnp.swapaxes(out, 1, 2).reshape(B, Lq, inner)
 
 
-def attention(q, k, v, num_heads: int, *, out_dtype=None, flash: bool = False):
+def attention(q, k, v, num_heads: int, *, out_dtype=None, flash: bool = False,
+              q_chunk: int = 0):
     """Plain softmax attention.  q: [B, Lq, H*Dh], k/v: [B, Lk, H*Dh].
 
     Softmax is computed in float32 regardless of input dtype (numerics rule
     for bf16 TPU attention).  flash=True routes eligible shapes through the
-    Pallas TPU flash kernel (fwd+bwd via its custom VJP).
+    Pallas TPU flash kernel (fwd+bwd via its custom VJP).  q_chunk>0 splits
+    the query axis into chunks computed sequentially (lax.map): numerically
+    identical (each query row's softmax sees the full key axis), but the f32
+    score tensor shrinks from [B,H,Lq,Lk] to [B,H,q_chunk,Lk] — at SD level 0
+    (Lq=Lk=4096) that is what otherwise caps the vanilla batch size at 7 on a
+    16 GB chip.
     """
     B, Lq, inner = q.shape
     if flash and _tpu_backend() and flash_ok(Lq, k.shape[-2], inner // num_heads):
         return flash_attention(q, k, v, num_heads).astype(out_dtype or q.dtype)
+    if q_chunk and Lq > q_chunk and Lq % q_chunk == 0:
+        nc = Lq // q_chunk
+        qc = jnp.moveaxis(q.reshape(B, nc, q_chunk, inner), 1, 0)
+        out = jax.lax.map(
+            lambda qi: attention(qi, k, v, num_heads, out_dtype=out_dtype), qc
+        )
+        return jnp.moveaxis(out, 0, 1).reshape(B, Lq, inner)
     # note: a bf16-scores variant was A/B-tested at pipeline level and made
     # no difference (44.17 vs 44.19 img/min) — conv time dominates; scores
     # stay f32 for numerics

@@ -1,0 +1,254 @@
+"""LDM training harness: train the latent-diffusion UNet itself.
+
+TPU-native equivalent of the reference's PyTorch-Lightning trainer
+(`attention_optimization/stable-diffusion/main.py:1-741`) and the loss /
+EMA machinery it drives in `ldm/models/diffusion/ddpm.py`:
+
+  * `DDPM.register_schedule` lvlb weights (`ddpm.py:148-169`)
+  * `LatentDiffusion.p_losses` (`ddpm.py:1030-1062`): per-sample MSE on the
+    eps (or x0) target, divided by exp(logvar_t) (+ logvar_t) with an
+    optionally learned per-timestep logvar, plus `original_elbo_weight` ×
+    lvlb-weighted VLB term
+  * `DDPM.forward` uniform timestep sampling (`ddpm.py:323-326`)
+  * `LitEma` exponential moving average with warmup ramp
+    (`ldm/modules/ema.py`, decay = min(decay, (1+step)/(10+step)))
+  * AdamW with the linear LR scaling rule lr = accum × ndev × batch ×
+    base_lr (`ddpm.py:1379-1388`, `main.py:674-689`)
+  * gradient accumulation (`accumulate_grad_batches`) via optax.MultiSteps
+
+TPU-first shape: one jitted, data-parallel `train_step` over a
+`Mesh(('data',))` — batch sharded, params replicated, the gradient
+all-reduce is inserted by GSPMD and rides ICI; orbax checkpointing with
+resume (replacing Lightning's callback stack).  Latents are produced by the
+framework's VAE encode (`pipeline.StableDiffusion.encode_images`, already ×
+scale_factor) and conditioning by its CLIP text tower, exactly like the
+reference's `get_input` path (`ddpm.py:560-` first/cond stage encode).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import LDMTrainConfig, ScheduleConfig
+from ..ops.schedule import DiffusionSchedule, make_beta_schedule, q_sample
+
+
+def lvlb_weights(cfg: ScheduleConfig, parameterization: str = "eps",
+                 v_posterior: float = 0.0) -> np.ndarray:
+    """Per-timestep VLB weights (reference `ddpm.py:148-169`)."""
+    betas = make_beta_schedule(cfg)
+    alphas = 1.0 - betas
+    ac = np.cumprod(alphas)
+    ac_prev = np.append(1.0, ac[:-1])
+    posterior_variance = (
+        (1.0 - v_posterior) * betas * (1.0 - ac_prev) / (1.0 - ac)
+        + v_posterior * betas
+    )
+    if parameterization == "eps":
+        # posterior_variance[0] = 0 → w[0] = inf, immediately overwritten by
+        # w[1] below (exactly the reference's behavior, ddpm.py:160-167)
+        with np.errstate(divide="ignore"):
+            w = betas ** 2 / (2.0 * posterior_variance * alphas * (1.0 - ac))
+    elif parameterization == "x0":
+        w = 0.5 * np.sqrt(ac) / (2.0 * 1.0 - ac)
+    else:
+        raise ValueError(parameterization)
+    w[0] = w[1]  # ddpm.py:167 ("TODO how to choose this term")
+    assert np.isfinite(w).all()
+    return w.astype(np.float32)
+
+
+class LDMTrainState(NamedTuple):
+    """Pytree carried across steps (what the reference persists per ckpt)."""
+
+    params: Any
+    opt_state: Any
+    ema_params: Any          # None when cfg.use_ema=False
+    logvar: jnp.ndarray      # [T]; trained only when cfg.learn_logvar
+    step: jnp.ndarray        # int32 scalar
+
+
+def scaled_lr(cfg: LDMTrainConfig, batch_size: int, num_devices: int) -> float:
+    """Linear LR scaling rule of `main.py:686`: accum × ndev × batch × base.
+
+    `batch_size` here is the per-device batch, matching Lightning's
+    per-process loader semantics.
+    """
+    if not cfg.scale_lr:
+        return cfg.base_lr
+    return cfg.accum_steps * num_devices * batch_size * cfg.base_lr
+
+
+def make_optimizer(cfg: LDMTrainConfig, lr: float) -> optax.GradientTransformation:
+    opt = optax.adamw(lr, weight_decay=cfg.weight_decay)
+    if cfg.grad_clip_norm:
+        opt = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), opt)
+    if cfg.accum_steps > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=cfg.accum_steps)
+    return opt
+
+
+def init_state(cfg: LDMTrainConfig, schedule_cfg: ScheduleConfig, params,
+               lr: float) -> LDMTrainState:
+    opt = make_optimizer(cfg, lr)
+    trainable = (params, jnp.full((schedule_cfg.num_train_timesteps,),
+                                  cfg.logvar_init, jnp.float32))
+    opt_state = opt.init(trainable if cfg.learn_logvar else params)
+    ema = jax.tree_util.tree_map(jnp.copy, params) if cfg.use_ema else None
+    return LDMTrainState(
+        params=params,
+        opt_state=opt_state,
+        ema_params=ema,
+        logvar=trainable[1],
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def ema_decay(step: jnp.ndarray, decay: float) -> jnp.ndarray:
+    """LitEma warmup ramp (`ldm/modules/ema.py:24`)."""
+    return jnp.minimum(decay, (1.0 + step) / (10.0 + step))
+
+
+def p_losses(cfg: LDMTrainConfig, schedule: DiffusionSchedule,
+             lvlb_w: jnp.ndarray, eps_model, params, logvar,
+             x0: jnp.ndarray, context: jnp.ndarray, rng) -> Tuple[jnp.ndarray, dict]:
+    """One loss evaluation (reference `ddpm.py:1030-1062` + `:323-326`).
+
+    eps_model(params, x_noisy, t, context) -> model output; x0 = scaled
+    latents [B,H,W,C]; context = text embeddings [B,L,D].
+    """
+    B = x0.shape[0]
+    t_rng, n_rng = jax.random.split(rng)
+    t = jax.random.randint(t_rng, (B,), 0, schedule.alphas_cumprod.shape[0])
+    noise = jax.random.normal(n_rng, x0.shape, x0.dtype)
+    x_noisy = q_sample(schedule, x0, t, noise)
+    model_out = eps_model(params, x_noisy, t, context).astype(jnp.float32)
+
+    target = noise if cfg.parameterization == "eps" else x0
+    err = model_out - target.astype(jnp.float32)
+    per_sample = jnp.mean(
+        jnp.abs(err) if cfg.loss_type == "l1" else err ** 2,
+        axis=tuple(range(1, x0.ndim)),
+    )  # [B] — `.mean([1,2,3])`
+
+    logvar_t = logvar[t]
+    loss_gamma = per_sample / jnp.exp(logvar_t) + logvar_t
+    loss = cfg.l_simple_weight * jnp.mean(loss_gamma)
+    loss_vlb = jnp.mean(lvlb_w[t] * per_sample)
+    loss = loss + cfg.original_elbo_weight * loss_vlb
+    metrics = {
+        "loss": loss,
+        "loss_simple": jnp.mean(per_sample),
+        "loss_vlb": loss_vlb,
+    }
+    if cfg.learn_logvar:
+        metrics["loss_gamma"] = jnp.mean(loss_gamma)
+        metrics["logvar"] = jnp.mean(logvar)
+    return loss, metrics
+
+
+def make_train_step(cfg: LDMTrainConfig, schedule_cfg: ScheduleConfig,
+                    schedule: DiffusionSchedule, eps_model, lr: float):
+    """Build the jittable step: (state, x0, context, rng) -> (state, metrics).
+
+    Pure function of its arguments — jit/pjit it at the call site with the
+    batch sharded over the data axis and the state replicated (the gradient
+    all-reduce is then a GSPMD psum over ICI).
+    """
+    opt = make_optimizer(cfg, lr)
+    lvlb_w = jnp.asarray(lvlb_weights(schedule_cfg, cfg.parameterization))
+
+    def step(state: LDMTrainState, x0, context, rng):
+        def loss_fn(trainable):
+            if cfg.learn_logvar:
+                params, logvar = trainable
+            else:
+                params, logvar = trainable, state.logvar
+            return p_losses(cfg, schedule, lvlb_w, eps_model, params, logvar,
+                            x0, context, rng)
+
+        trainable = (state.params, state.logvar) if cfg.learn_logvar else state.params
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)
+        updates, opt_state = opt.update(grads, state.opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        if cfg.learn_logvar:
+            params, logvar = trainable
+        else:
+            params, logvar = trainable, state.logvar
+        if cfg.use_ema:
+            d = ema_decay(state.step, cfg.ema_decay)
+            ema = jax.tree_util.tree_map(
+                lambda e, p: e * d + (1.0 - d) * p, state.ema_params, params
+            )
+        else:
+            ema = None
+        return LDMTrainState(params, opt_state, ema, logvar, state.step + 1), metrics
+
+    return step
+
+
+@dataclasses.dataclass
+class LDMTrainer:
+    """Convenience wrapper: jitted data-parallel step + orbax checkpointing.
+
+    Replaces `main.py`'s Lightning Trainer + ModelCheckpoint/resume stack
+    (`main.py:240-330`) with ~40 lines around the functional core.
+    """
+
+    cfg: LDMTrainConfig
+    schedule_cfg: ScheduleConfig
+    schedule: DiffusionSchedule
+    eps_model: Any                      # (params, x, t, context) -> out
+    mesh: Optional[Any] = None          # jax.sharding.Mesh or None
+    ckpt_dir: Optional[str] = None
+
+    def __post_init__(self):
+        self.lr = scaled_lr(
+            self.cfg, self.cfg.batch_size,
+            self.mesh.devices.size if self.mesh is not None else 1,
+        )
+        step = make_train_step(self.cfg, self.schedule_cfg, self.schedule,
+                               self.eps_model, self.lr)
+        if self.mesh is not None:
+            from ..parallel.mesh import data_sharding, replicated
+
+            rep = replicated(self.mesh)
+            self._step = jax.jit(
+                step,
+                in_shardings=(rep, data_sharding(self.mesh, 4),
+                              data_sharding(self.mesh, 3), rep),
+                out_shardings=(rep, rep),
+            )
+        else:
+            self._step = jax.jit(step)
+
+    def init(self, params) -> LDMTrainState:
+        return init_state(self.cfg, self.schedule_cfg, params, self.lr)
+
+    def train_step(self, state, x0, context, rng):
+        return self._step(state, x0, context, rng)
+
+    # -- checkpoint / resume (orbax; mirrors ModelCheckpoint + resume_from) --
+    def save(self, state: LDMTrainState, step: int) -> None:
+        assert self.ckpt_dir, "ckpt_dir not set"
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(f"{self.ckpt_dir}/step_{step}",
+                       jax.tree_util.tree_map(np.asarray, state._asdict()))
+
+    def restore(self, step: int, like: LDMTrainState) -> LDMTrainState:
+        assert self.ckpt_dir, "ckpt_dir not set"
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            d = ckptr.restore(
+                f"{self.ckpt_dir}/step_{step}",
+                jax.tree_util.tree_map(np.asarray, like._asdict()),
+            )
+        return LDMTrainState(**d)

@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""LDM (UNet) training CLI — TPU-native equivalent of the reference's
+Lightning harness (`attention_optimization/stable-diffusion/main.py`).
+
+The reference trains latent-diffusion models from OmegaConf configs over
+image datasets with a GPU Lightning Trainer; here: one jitted data-parallel
+train step over a `Mesh(('data',))` (batch sharded, params replicated,
+GSPMD gradient all-reduce over ICI), orbax checkpoints, resume.
+
+Data: a directory of images with a `captions.jsonl` ({"file":…, "text":…}
+per line), or --synthetic for a smoke run on random latents.  Images are
+VAE-encoded and captions CLIP-encoded on device, exactly the reference's
+first/cond-stage `get_input` path (`ddpm.py:560-`).
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data-dir", default=None,
+                    help="directory with images + captions.jsonl")
+    ap.add_argument("--synthetic", action="store_true",
+                    help="random latents/contexts (smoke/benchmark mode)")
+    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--batch-size", type=int, default=4, help="per device")
+    ap.add_argument("--base-lr", type=float, default=1e-4)
+    ap.add_argument("--accum", type=int, default=1)
+    ap.add_argument("--no-ema", action="store_true")
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--ckpt-dir", default="saved/ldm")
+    ap.add_argument("--ckpt-every", type=int, default=500)
+    ap.add_argument("--resume-step", type=int, default=None)
+    ap.add_argument("--log-every", type=int, default=50)
+    ap.add_argument("--unet-ckpt", default=None,
+                    help="warm start from sd-v1-4 (CompVis ckpt or HF dir)")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny UNet (CI/CPU smoke)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffusion_spacetime_attn_tpu.config import (
+        LDMTrainConfig, PipelineConfig, ScheduleConfig, UNetConfig, VAEConfig,
+    )
+    from diffusion_spacetime_attn_tpu.models.unet import UNet
+    from diffusion_spacetime_attn_tpu.ops.schedule import make_schedule
+    from diffusion_spacetime_attn_tpu.parallel.mesh import make_mesh
+    from diffusion_spacetime_attn_tpu.training.ldm_trainer import LDMTrainer
+    from diffusion_spacetime_attn_tpu.utils.cache import enable_compilation_cache
+    from diffusion_spacetime_attn_tpu.utils.profiling import JsonLogger, get_logger
+
+    enable_compilation_cache()
+    logger = get_logger("train_ldm")
+
+    if args.tiny:
+        unet_cfg = UNetConfig(model_channels=32, channel_mult=(1, 2),
+                              num_res_blocks=1, attention_resolutions=(1, 2),
+                              num_heads=2, context_dim=16, dtype=args.dtype)
+        latent_hw, ctx_shape = 16, (7, 16)
+    else:
+        unet_cfg = UNetConfig(dtype=args.dtype)
+        latent_hw, ctx_shape = 64, (77, 768)
+
+    sched_cfg = ScheduleConfig()
+    schedule = make_schedule(sched_cfg, 50)
+    train_cfg = LDMTrainConfig(
+        batch_size=args.batch_size, base_lr=args.base_lr,
+        accum_steps=args.accum, use_ema=not args.no_ema,
+    )
+
+    unet = UNet(unet_cfg, radius=0.2)
+
+    def eps_model(params, x, t, context):
+        return unet.apply({"params": params}, x, t, context)
+
+    ndev = len(jax.devices())
+    mesh = make_mesh(data=ndev) if ndev > 1 else None
+    trainer = LDMTrainer(train_cfg, sched_cfg, schedule, eps_model,
+                         mesh=mesh, ckpt_dir=args.ckpt_dir)
+    logger.info("devices=%d lr=%.2e (scaled)", ndev, trainer.lr)
+
+    # ---- params ----
+    B = args.batch_size * ndev
+    x_spec = jnp.zeros((B, latent_hw, latent_hw, 4))
+    t_spec = jnp.zeros((B,), jnp.int32)
+    c_spec = jnp.zeros((B,) + ctx_shape)
+    if args.unet_ckpt:
+        from diffusion_spacetime_attn_tpu.utils import convert
+
+        state_dict = convert.load_torch_checkpoint(args.unet_ckpt)
+        params = convert.convert_sd_unet(
+            state_dict,
+            channel_mult=unet_cfg.channel_mult,
+            num_res_blocks=unet_cfg.num_res_blocks,
+            attention_ds=unet_cfg.attention_resolutions,
+        )
+    else:
+        params = unet.init(jax.random.PRNGKey(0), x_spec, t_spec, c_spec)["params"]
+
+    state = trainer.init(params)
+    start = 0
+    if args.resume_step is not None:
+        state = trainer.restore(args.resume_step, state)
+        start = args.resume_step
+        logger.info("resumed from step %d", start)
+
+    # ---- data ----
+    if args.synthetic or not args.data_dir:
+        def next_batch(i):
+            r = np.random.RandomState(i)
+            return (jnp.asarray(r.randn(B, latent_hw, latent_hw, 4), jnp.float32),
+                    jnp.asarray(r.randn(B, *ctx_shape), jnp.float32))
+    else:
+        from PIL import Image
+
+        from diffusion_spacetime_attn_tpu.pipeline.pipeline import StableDiffusion
+        from diffusion_spacetime_attn_tpu.utils.tokenizer import make_clip_tokenizer
+
+        pipe_cfg = PipelineConfig(unet=unet_cfg, vae=VAEConfig(dtype=args.dtype))
+        sd = StableDiffusion.create(pipe_cfg, jax.random.PRNGKey(0))
+        ctok = make_clip_tokenizer()
+        tokenize = (
+            ctok.tokenize if hasattr(ctok, "tokenize")
+            else (lambda t: ctok.pad_to(ctok.encode(t), 77))
+        )
+        rows = [json.loads(l) for l in
+                open(os.path.join(args.data_dir, "captions.jsonl"))]
+        encode_images = jax.jit(sd.encode_images)
+        encode_text = jax.jit(sd.encode_text)
+
+        def next_batch(i):
+            r = np.random.RandomState(i)
+            pick = [rows[j] for j in r.randint(0, len(rows), B)]
+            imgs = np.stack([
+                np.asarray(
+                    Image.open(os.path.join(args.data_dir, p["file"]))
+                    .convert("RGB").resize((512, 512))
+                ) / 127.5 - 1.0
+                for p in pick
+            ]).astype(np.float32)
+            ids = np.stack([tokenize(p["text"]) for p in pick]).astype(np.int32)
+            z = encode_images(jnp.asarray(imgs), jax.random.PRNGKey(i))
+            ctx = encode_text(jnp.asarray(ids))
+            return z, ctx
+
+    # ---- loop ----
+    os.makedirs(args.ckpt_dir, exist_ok=True)
+    jlog = JsonLogger(os.path.join(args.ckpt_dir, "train_log.jsonl"))
+    key = jax.random.PRNGKey(42)
+    for i in range(start, args.steps):
+        x0, ctx = next_batch(i)
+        state, metrics = trainer.train_step(state, x0, ctx, jax.random.fold_in(key, i))
+        if (i + 1) % args.log_every == 0 or i == start:
+            m = {k: float(v) for k, v in metrics.items()}
+            logger.info("step %d %s", i + 1, m)
+            jlog.log("ldm_train_step", step=i + 1, **m)
+        if (i + 1) % args.ckpt_every == 0 or i + 1 == args.steps:
+            trainer.save(state, i + 1)
+            logger.info("checkpoint @ %d", i + 1)
+
+
+if __name__ == "__main__":
+    main()

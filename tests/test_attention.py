@@ -163,3 +163,22 @@ def test_grad_flows_to_coef():
     g = jax.grad(loss)(jnp.ones((B, N)))
     assert np.all(np.isfinite(np.asarray(g)))
     assert np.any(np.asarray(g) != 0)
+
+
+def test_q_chunked_attention_identical():
+    """q_chunk is a pure memory optimization: bit-comparable output and
+    gradients vs the unchunked path (each query row still sees all keys)."""
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.standard_normal((2, 64, 32)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, 64, 32)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 64, 32)), jnp.float32)
+    full = attention(q, k, v, 4)
+    chunked = attention(q, k, v, 4, q_chunk=16)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(chunked), atol=1e-6)
+    # non-divisor / oversized chunk falls back to the plain path
+    np.testing.assert_allclose(
+        np.asarray(attention(q, k, v, 4, q_chunk=48)), np.asarray(full), atol=0
+    )
+    g_full = jax.grad(lambda x: attention(x, k, v, 4).sum())(q)
+    g_chunk = jax.grad(lambda x: attention(x, k, v, 4, q_chunk=16).sum())(q)
+    np.testing.assert_allclose(np.asarray(g_full), np.asarray(g_chunk), atol=1e-5)

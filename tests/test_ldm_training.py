@@ -1,0 +1,190 @@
+"""LDM (UNet) training harness tests — reference semantics replicated in
+numpy per project convention (`main.py`, `ddpm.py:148-169,323-326,1030-1062`,
+`ldm/modules/ema.py`)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_spacetime_attn_tpu.config import (
+    LDMTrainConfig,
+    ScheduleConfig,
+    UNetConfig,
+)
+from diffusion_spacetime_attn_tpu.models.unet import UNet
+from diffusion_spacetime_attn_tpu.ops.schedule import make_schedule
+from diffusion_spacetime_attn_tpu.training.ldm_trainer import (
+    LDMTrainer,
+    ema_decay,
+    lvlb_weights,
+    make_train_step,
+    init_state,
+    p_losses,
+    scaled_lr,
+)
+from diffusion_spacetime_attn_tpu.utils.testing import randomize_params
+
+TINY = UNetConfig(
+    model_channels=32,
+    channel_mult=(1, 2),
+    num_res_blocks=1,
+    attention_resolutions=(1, 2),
+    num_heads=2,
+    context_dim=16,
+)
+SCHED_CFG = ScheduleConfig()
+
+
+def _numpy_lvlb_eps(cfg: ScheduleConfig) -> np.ndarray:
+    # direct replication of ddpm.py:139-167 (v_posterior=0, eps param)
+    betas = (
+        np.linspace(
+            cfg.linear_start ** 0.5, cfg.linear_end ** 0.5,
+            cfg.num_train_timesteps, dtype=np.float64,
+        )
+        ** 2
+    )
+    alphas = 1.0 - betas
+    ac = np.cumprod(alphas)
+    ac_prev = np.append(1.0, ac[:-1])
+    post_var = betas * (1.0 - ac_prev) / (1.0 - ac)
+    w = betas ** 2 / (2 * post_var * alphas * (1 - ac))
+    w[0] = w[1]
+    return w
+
+
+def test_lvlb_weights_match_reference_formula():
+    w = lvlb_weights(SCHED_CFG, "eps")
+    np.testing.assert_allclose(w, _numpy_lvlb_eps(SCHED_CFG), rtol=1e-5)
+    assert np.isfinite(lvlb_weights(SCHED_CFG, "x0")).all()
+
+
+def test_scaled_lr_rule():
+    # main.py:686: lr = accum × ngpu × batch × base_lr
+    cfg = LDMTrainConfig(base_lr=1e-4, accum_steps=2, batch_size=4)
+    assert scaled_lr(cfg, 4, 8) == pytest.approx(2 * 8 * 4 * 1e-4)
+    cfg = dataclasses.replace(cfg, scale_lr=False)
+    assert scaled_lr(cfg, 4, 8) == pytest.approx(1e-4)
+
+
+def test_ema_ramp():
+    # LitEma: decay = min(decay, (1+step)/(10+step))
+    assert float(ema_decay(jnp.asarray(0), 0.9999)) == pytest.approx(0.1)
+    assert float(ema_decay(jnp.asarray(10 ** 6), 0.9999)) == pytest.approx(0.9999)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    unet = UNet(TINY, radius=0.2)
+    x = jnp.zeros((2, 16, 16, 4))
+    t = jnp.zeros((2,), jnp.int32)
+    ctx = jnp.zeros((2, 7, 16))
+    params = unet.init(jax.random.PRNGKey(0), x, t, ctx)["params"]
+    params = randomize_params(params, jax.random.PRNGKey(1))
+
+    def eps_model(p, x, t, c):
+        return unet.apply({"params": p}, x, t, c)
+
+    schedule = make_schedule(SCHED_CFG, 50)
+    return eps_model, params, schedule
+
+
+def test_train_step_decreases_loss(tiny_setup):
+    eps_model, params, schedule = tiny_setup
+    cfg = LDMTrainConfig(use_ema=True, scale_lr=False, base_lr=2e-4)
+    step = jax.jit(make_train_step(cfg, SCHED_CFG, schedule, eps_model, 2e-4))
+    state = init_state(cfg, SCHED_CFG, params, 2e-4)
+
+    rng = np.random.RandomState(0)
+    x0 = jnp.asarray(rng.randn(2, 16, 16, 4), jnp.float32)
+    ctx = jnp.asarray(rng.randn(2, 7, 16), jnp.float32)
+
+    losses = []
+    key = jax.random.PRNGKey(7)
+    for i in range(30):
+        # fixed data, fresh (t, noise) draws — loss trend must go down
+        state, metrics = step(state, x0, ctx, jax.random.fold_in(key, i))
+        losses.append(float(metrics["loss"]))
+    assert int(state.step) == 30
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+    # EMA stays a valid pytree tracking params
+    flat_p = jax.tree_util.tree_leaves(state.params)
+    flat_e = jax.tree_util.tree_leaves(state.ema_params)
+    assert all(np.isfinite(np.asarray(e)).all() for e in flat_e)
+    assert len(flat_p) == len(flat_e)
+
+
+def test_learn_logvar_updates_logvar(tiny_setup):
+    eps_model, params, schedule = tiny_setup
+    cfg = LDMTrainConfig(use_ema=False, learn_logvar=True, scale_lr=False)
+    step = jax.jit(make_train_step(cfg, SCHED_CFG, schedule, eps_model, 1e-3))
+    state = init_state(cfg, SCHED_CFG, params, 1e-3)
+    x0 = jnp.ones((2, 16, 16, 4))
+    ctx = jnp.zeros((2, 7, 16))
+    state2, metrics = step(state, x0, ctx, jax.random.PRNGKey(0))
+    assert "logvar" in metrics
+    assert not np.allclose(np.asarray(state2.logvar), np.asarray(state.logvar))
+
+
+def test_p_losses_elbo_term(tiny_setup):
+    # original_elbo_weight adds exactly lvlb_w[t]-weighted simple loss
+    eps_model, params, schedule = tiny_setup
+    w = jnp.asarray(lvlb_weights(SCHED_CFG, "eps"))
+    base = LDMTrainConfig(original_elbo_weight=0.0)
+    elbo = LDMTrainConfig(original_elbo_weight=0.5)
+    x0 = jnp.ones((2, 16, 16, 4)) * 0.1
+    ctx = jnp.zeros((2, 7, 16))
+    logvar = jnp.zeros((SCHED_CFG.num_train_timesteps,))
+    rng = jax.random.PRNGKey(3)
+    l0, m0 = p_losses(base, schedule, w, eps_model, params, logvar, x0, ctx, rng)
+    l1, m1 = p_losses(elbo, schedule, w, eps_model, params, logvar, x0, ctx, rng)
+    np.testing.assert_allclose(
+        float(l1), float(l0) + 0.5 * float(m0["loss_vlb"]), rtol=1e-6
+    )
+
+
+def test_data_parallel_step_matches_single_device(tiny_setup):
+    from diffusion_spacetime_attn_tpu.parallel.mesh import make_mesh
+
+    eps_model, params, schedule = tiny_setup
+    cfg = LDMTrainConfig(use_ema=False, scale_lr=False)
+    mesh = make_mesh(data=len(jax.devices()))
+    trainer = LDMTrainer(cfg, SCHED_CFG, schedule, eps_model, mesh=mesh)
+    state = trainer.init(params)
+    rng = np.random.RandomState(1)
+    B = len(jax.devices())
+    x0 = jnp.asarray(rng.randn(B, 16, 16, 4), jnp.float32)
+    ctx = jnp.asarray(rng.randn(B, 7, 16), jnp.float32)
+    key = jax.random.PRNGKey(5)
+    sharded_state, sharded_m = trainer.train_step(state, x0, ctx, key)
+
+    single = LDMTrainer(cfg, SCHED_CFG, schedule, eps_model, mesh=None)
+    single_state, single_m = single.train_step(single.init(params), x0, ctx, key)
+    np.testing.assert_allclose(
+        float(sharded_m["loss"]), float(single_m["loss"]), rtol=2e-5
+    )
+    a = jax.tree_util.tree_leaves(sharded_state.params)[0]
+    b = jax.tree_util.tree_leaves(single_state.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_checkpoint_roundtrip(tiny_setup, tmp_path):
+    eps_model, params, schedule = tiny_setup
+    cfg = LDMTrainConfig(use_ema=False, scale_lr=False)
+    tr = LDMTrainer(cfg, SCHED_CFG, schedule, eps_model, ckpt_dir=str(tmp_path))
+    state = tr.init(params)
+    state, _ = tr.train_step(
+        state, jnp.ones((2, 16, 16, 4)), jnp.zeros((2, 7, 16)),
+        jax.random.PRNGKey(0),
+    )
+    tr.save(state, 1)
+    restored = tr.restore(1, state)
+    np.testing.assert_array_equal(
+        np.asarray(restored.step), np.asarray(state.step)
+    )
+    a = jax.tree_util.tree_leaves(state.params)[0]
+    b = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
