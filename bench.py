@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--flash", action="store_true", help="Pallas flash self-attention")
     ap.add_argument("--q-chunk", type=int, default=0,
                     help=">0: query-chunked long self-attention (enables batch>7)")
+    ap.add_argument("--scores-dtype", default="float32",
+                    help="self-attention score buffer dtype (bfloat16 halves it)")
     ap.add_argument("--fused-control", action="store_true",
                     help="fused Pallas spacetime cross-attention kernel")
     ap.add_argument("--params-dtype", default="float32", help="cast params (e.g. bfloat16)")
@@ -60,7 +62,8 @@ def main():
     cfg = PipelineConfig(
         unet=UNetConfig(dtype=args.dtype, use_flash=args.flash,
                         use_fused_control=args.fused_control,
-                        attn_q_chunk=args.q_chunk),
+                        attn_q_chunk=args.q_chunk,
+                        attn_scores_dtype=args.scores_dtype),
         vae=VAEConfig(dtype=args.dtype),
         spacetime=SpaceTimeConfig(num_steps=args.steps),
     )

@@ -37,6 +37,10 @@ class UNetConfig:
     # numerics, O(q_chunk·Lk) score memory instead of O(Lq·Lk)) — lifts the
     # level-0 [B,H,4096,4096] f32 score tensor that caps vanilla batch at 7
     attn_q_chunk: int = 0
+    # dtype of the materialized self-attention score buffer ("float32" |
+    # "bfloat16"): bf16 halves the level-0 [B,H,4096,4096] buffer without
+    # serializing; softmax math stays f32 (fused casts)
+    attn_scores_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

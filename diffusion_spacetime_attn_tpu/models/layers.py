@@ -73,6 +73,7 @@ class CrossAttention(nn.Module):
     flash: bool = False
     fused_control: bool = False
     q_chunk: int = 0
+    scores_dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         inner = self.query_dim
@@ -86,7 +87,8 @@ class CrossAttention(nn.Module):
         q = self.to_q(x)
         k = self.to_k(context)
         v = self.to_v(context)
-        out = attention(q, k, v, self.heads, flash=self.flash, q_chunk=self.q_chunk)
+        out = attention(q, k, v, self.heads, flash=self.flash, q_chunk=self.q_chunk,
+                        scores_dtype=self.scores_dtype)
         return self.to_out(out)
 
     def controlled(self, x, context, control: Optional[SpatialControl], radius: float):
@@ -117,12 +119,13 @@ class BasicTransformerBlock(nn.Module):
     flash: bool = False
     fused_control: bool = False
     q_chunk: int = 0
+    scores_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, context, control: Optional[SpatialControl] = None):
         attn1 = CrossAttention(
             self.dim, heads=self.heads, dtype=self.dtype, flash=self.flash,
-            q_chunk=self.q_chunk, name="attn1",
+            q_chunk=self.q_chunk, scores_dtype=self.scores_dtype, name="attn1",
         )
         attn2 = CrossAttention(
             self.dim, context_dim=context.shape[-1], heads=self.heads,
@@ -151,6 +154,7 @@ class SpatialTransformer(nn.Module):
     flash: bool = False
     fused_control: bool = False
     q_chunk: int = 0
+    scores_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, context, control=None):
@@ -163,7 +167,7 @@ class SpatialTransformer(nn.Module):
                 self.channels, self.heads, radius=self.radius,
                 dtype=self.dtype, flash=self.flash,
                 fused_control=self.fused_control, q_chunk=self.q_chunk,
-                name=f"block_{d}",
+                scores_dtype=self.scores_dtype, name=f"block_{d}",
             )(h, context, control)
         h = h.reshape(B, H, W, self.channels)
         h = nn.Conv(

