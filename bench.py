@@ -29,12 +29,12 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--mode", choices=["vanilla", "spatial", "spacetime"], default="vanilla")
     ap.add_argument("--dtype", default="bfloat16")
-    ap.add_argument("--batch", type=int, default=7, help="prompts per step (7 = measured sweet spot on v5e: 67.6 img/min; 8 spills HBM)")
+    ap.add_argument("--batch", type=int, default=8, help="prompts per step (8 + bf16 scores = measured sweet spot on v5e: 74.2 img/min; 9+ spills HBM)")
     ap.add_argument("--flash", action="store_true", help="Pallas flash self-attention")
     ap.add_argument("--q-chunk", type=int, default=0,
                     help=">0: query-chunked long self-attention (enables batch>7)")
-    ap.add_argument("--scores-dtype", default="float32",
-                    help="self-attention score buffer dtype (bfloat16 halves it)")
+    ap.add_argument("--scores-dtype", default="bfloat16",
+                    help="self-attention score buffer dtype (bfloat16 halves the level-0 buffer; float32 for exact-reference numerics)")
     ap.add_argument("--fused-control", action="store_true",
                     help="fused Pallas spacetime cross-attention kernel")
     ap.add_argument("--params-dtype", default="float32", help="cast params (e.g. bfloat16)")
