@@ -1,0 +1,108 @@
+"""Serving layer: shape-specialized engine, dynamic batcher, HTTP front.
+
+No reference counterpart (its deployment is a shell loop per GPU,
+SURVEY §2.5) — behavior contracts tested here:
+  * per-request seed determinism independent of batch composition/padding
+  * dynamic batching actually coalesces concurrent requests
+  * HTTP roundtrip end-to-end
+"""
+
+import base64
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_spacetime_attn_tpu.config import (
+    CLIPTextConfig,
+    PipelineConfig,
+    SpaceTimeConfig,
+    UNetConfig,
+    VAEConfig,
+)
+from diffusion_spacetime_attn_tpu.pipeline.pipeline import StableDiffusion
+from diffusion_spacetime_attn_tpu.serving import (
+    BatchingService,
+    TextToImageEngine,
+    serve,
+)
+from diffusion_spacetime_attn_tpu.utils.testing import randomize_params
+from diffusion_spacetime_attn_tpu.utils.tokenizer import make_clip_tokenizer
+
+import dataclasses
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = PipelineConfig(
+        unet=UNetConfig(model_channels=32, channel_mult=(1, 2), num_res_blocks=1,
+                        attention_resolutions=(1, 2), num_heads=2, context_dim=16),
+        vae=VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1),
+        text_encoder=CLIPTextConfig(width=16, layers=2, heads=2,
+                                    vocab_size=49408, max_len=7),
+        spacetime=SpaceTimeConfig(num_steps=4, latent_size=16, image_size=32),
+    )
+    sd = StableDiffusion.create(cfg, jax.random.PRNGKey(0))
+    sd = dataclasses.replace(
+        sd,
+        unet_params=randomize_params(sd.unet_params, jax.random.PRNGKey(1), 0.2),
+        vae_params=randomize_params(sd.vae_params, jax.random.PRNGKey(2), 0.2),
+        text_params=randomize_params(sd.text_params, jax.random.PRNGKey(3), 0.2),
+    )
+    ctok = make_clip_tokenizer(max_len=7)
+    tokenize = lambda t: ctok.pad_to(ctok.encode(t), 7)
+    eng = TextToImageEngine(sd=sd, tokenize=tokenize, batch_size=3)
+    eng.warmup()
+    return eng
+
+
+def test_engine_shapes_and_seed_determinism(engine):
+    a = engine.generate_batch(["a cat", "a dog"], [1, 2])
+    assert a.shape == (2, 32, 32, 3) and a.dtype == np.uint8
+    # same request in a different batch composition → identical image
+    b = engine.generate_batch(["a bird", "a cat", "x"], [9, 1, 5])
+    np.testing.assert_array_equal(a[0], b[1])
+    # different seed → different image
+    c = engine.generate_batch(["a cat"], [3])
+    assert (c[0] != a[0]).any()
+
+
+def test_batching_service_coalesces(engine):
+    svc = BatchingService(engine, max_wait_s=0.5).start()
+    try:
+        futs = [svc.submit(f"prompt {i}", seed=i) for i in range(3)]
+        imgs = [f.result(timeout=120) for f in futs]
+        assert all(im.shape == (32, 32, 3) for im in imgs)
+        assert svc.stats["requests"] == 3
+        # 3 concurrent requests at batch_size 3 → should coalesce, not 3 batches
+        assert svc.stats["batches"] <= 2
+    finally:
+        svc.stop()
+
+
+def test_http_roundtrip(engine):
+    svc = BatchingService(engine, max_wait_s=0.05).start()
+    httpd = serve(svc, host="127.0.0.1", port=0, block=False)
+    port = httpd.server_address[1]
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/txt2img",
+            data=json.dumps({"prompt": "a cat", "seed": 7}).encode(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        assert out["shape"] == [32, 32, 3]
+        assert len(base64.b64decode(out["image"])) > 0
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=10
+        ) as r:
+            health = json.loads(r.read())
+        assert health["ok"] and health["requests"] >= 1
+    finally:
+        httpd.shutdown()
+        svc.stop()
