@@ -7,7 +7,9 @@ Subpackages:
   samplers/  PLMS / DDIM / DPM-Solver++ as lax.scan
   pipeline/  txt2img, spatial control, temporal weight optimization, runners
   parallel/  device meshes and shardings (pjit/shard_map)
-  training/  layout-predictor training (losses, schedules, checkpointing)
+  training/  layout-predictor + LDM (UNet) training (losses, schedules,
+             checkpointing, resume)
+  serving/   dynamic-batching txt2img engine + HTTP front
   eval/      CLIP-score fidelity, object recall / relation accuracy protocol
   utils/     tokenizers, image io, weight converters, logging, profiling
 """
@@ -24,6 +26,10 @@ __all__ = [
     "optimize_prompt",
     "LayoutInference",
     "PromptRunner",
+    "LDMTrainer",
+    "LayoutTrainer",
+    "TextToImageEngine",
+    "BatchingService",
 ]
 
 
@@ -52,4 +58,16 @@ def __getattr__(name):
         from .pipeline.runners import PromptRunner
 
         return PromptRunner
+    if name == "LDMTrainer":
+        from .training.ldm_trainer import LDMTrainer
+
+        return LDMTrainer
+    if name == "LayoutTrainer":
+        from .training.layout_trainer import LayoutTrainer
+
+        return LayoutTrainer
+    if name in ("TextToImageEngine", "BatchingService"):
+        from . import serving
+
+        return getattr(serving, name)
     raise AttributeError(name)
