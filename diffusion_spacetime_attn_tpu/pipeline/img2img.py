@@ -32,7 +32,7 @@ def img2img(
     S = sd.schedule.num_steps
     start_step = S - int(strength * S)  # loop position to start from
     r_enc, r_noise = jax.random.split(rng)
-    z0 = sd.encode_images(init_image, r_enc)
+    z0 = sd.encode_images(init_image, r_enc).astype(jnp.float32)  # f32 carry
     noise = jax.random.normal(r_noise, z0.shape, z0.dtype)
     t_enc = jnp.broadcast_to(sd.schedule.timesteps[start_step], (z0.shape[0],))
     z_T = q_sample(sd.schedule, z0, t_enc, noise)
@@ -52,11 +52,14 @@ def inpaint(
     guidance_scale: Optional[float] = None,
 ) -> jnp.ndarray:
     r_enc, r_T = jax.random.split(rng)
-    z0 = sd.encode_images(init_image, r_enc)
+    # latents ride the sampler carry in f32 regardless of the VAE compute
+    # dtype (sampler convention, cf. pipeline.sample_latents; a bf16 z0 would
+    # flip the lax.scan carry dtype mid-body and fail to trace)
+    z0 = sd.encode_images(init_image, r_enc).astype(jnp.float32)
     # downsample the mask to latent resolution (f=8, nearest)
     B, h, w, _ = z0.shape
     mask = jax.image.resize(image_mask, (B, h, w, 1), method="nearest")
-    x_T = jax.random.normal(r_T, z0.shape, z0.dtype)
+    x_T = jax.random.normal(r_T, z0.shape, jnp.float32)
     gs = sd.cfg.spacetime.guidance_scale if guidance_scale is None else guidance_scale
     eps_fn = sd.make_eps_fn(cond, uncond, gs)
     z = ddim_sample(

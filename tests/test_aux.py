@@ -81,3 +81,34 @@ def test_safety_checker_noop_and_flagging():
     out, flags = checker(imgs)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(imgs))
     assert not flags.any()
+
+
+def test_img2img_inpaint_bf16_vae():
+    """Regression: a bf16 VAE used to flip the DDIM scan carry dtype mid-body
+    (bf16 z0 → f32 q_sample output) and fail to trace; latents must ride the
+    sampler carry in f32 regardless of compute dtype."""
+    cfg = PipelineConfig(
+        unet=UNetConfig(model_channels=32, channel_mult=(1, 2), num_res_blocks=1,
+                        attention_resolutions=(1, 2), num_heads=2, context_dim=16,
+                        dtype="bfloat16"),
+        vae=VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1, dtype="bfloat16"),
+        text_encoder=CLIPTextConfig(width=16, layers=2, heads=2, vocab_size=100, max_len=7),
+        spacetime=SpaceTimeConfig(num_steps=4, latent_size=8, image_size=16, max_objects=2),
+    )
+    sd = StableDiffusion.create(cfg, jax.random.PRNGKey(0))
+    sd = dataclasses.replace(
+        sd,
+        unet_params=randomize_params(sd.unet_params, jax.random.PRNGKey(1), 0.1),
+        vae_params=randomize_params(sd.vae_params, jax.random.PRNGKey(2), 0.1),
+        text_params=randomize_params(sd.text_params, jax.random.PRNGKey(3)),
+    )
+    rng = np.random.RandomState(0)
+    init = jnp.array(rng.rand(1, 16, 16, 3) * 2 - 1, jnp.float32)
+    mask = jnp.array((rng.rand(1, 16, 16, 1) > 0.5), jnp.float32)
+    cond = sd.encode_text(jnp.array([[1, 5, 9, 3, 2, 0, 99]], jnp.int32))
+    uncond = sd.encode_text(jnp.array([[1, 2, 0, 0, 0, 0, 99]], jnp.int32))
+    out = inpaint(sd, init, mask, cond, uncond, jax.random.PRNGKey(0))
+    assert out.shape == (1, 16, 16, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    out2 = img2img(sd, init, cond, uncond, jax.random.PRNGKey(0), strength=0.5)
+    assert np.isfinite(np.asarray(out2)).all()
