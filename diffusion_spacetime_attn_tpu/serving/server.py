@@ -36,7 +36,15 @@ import numpy as np
 
 @dataclass
 class TextToImageEngine:
-    """Shape-specialized txt2img program at a fixed batch size."""
+    """Shape-specialized txt2img program at a fixed batch size.
+
+    With `prepare_host` set (e.g. `PromptRunner.prepare_host` — layout
+    prediction + object extraction on the host), requests run with the
+    paper's spatial attention control: per-object local contexts, circular
+    region masks and fixed blend weights `init_coef/N` (the reference's
+    initialization, `plms.py:204-214`).  Prompts whose layout fails fall
+    back to vanilla rows (zeroed `active` masks are exact no-ops).
+    """
 
     sd: object                                  # pipeline.StableDiffusion
     tokenize: Callable[[str], Sequence[int]]    # text → fixed-len ids
@@ -44,20 +52,47 @@ class TextToImageEngine:
     sampler: str = "plms"
     guidance_scale: Optional[float] = None
     watermark: Optional[str] = None             # payload string or None
+    prepare_host: Optional[Callable] = None     # prompt → dict | None (spatial)
+    init_coef: Optional[float] = None           # default: cfg.spacetime.init_coef
     _generate: object = field(default=None, repr=False)
     _uncond_ids: object = field(default=None, repr=False)
 
     def __post_init__(self):
+        from ..ops.attention import SpatialControl
+
         latent = self.sd.cfg.spacetime.latent_size
         in_ch = self.sd.cfg.unet.in_channels
+        N = self.sd.cfg.spacetime.max_objects
+        S = self.sd.schedule.num_steps
+        spatial = self.prepare_host is not None
 
-        def generate(token_ids: jnp.ndarray, uncond_ids: jnp.ndarray,
-                     seeds: jnp.ndarray) -> jnp.ndarray:
-            cond = self.sd.encode_text(token_ids)
+        def generate(token_ids, uncond_ids, seeds, local_ids, centers, active):
+            B = token_ids.shape[0]
+            if spatial:
+                # one encoder call for captions + all local contexts
+                all_ids = jnp.concatenate(
+                    [token_ids, local_ids.reshape(B * N, -1)]
+                )
+                emb = self.sd.encode_text(all_ids)
+                cond, locals_ = emb[:B], emb[B:].reshape(B, N, *emb.shape[1:])
+                coef = active * (
+                    (self.init_coef
+                     if self.init_coef is not None
+                     else self.sd.cfg.spacetime.init_coef)
+                    / jnp.maximum(jnp.sum(active, -1, keepdims=True), 1.0)
+                )
+                control = SpatialControl(
+                    local_contexts=locals_, centers=centers,
+                    coef=coef, active=active,
+                )
+                coef_schedule = jnp.broadcast_to(coef[..., None], (B, N, S))
+            else:
+                cond = self.sd.encode_text(token_ids)
+                control, coef_schedule = None, None
             uncond = self.sd.encode_text(uncond_ids)
             gs = (self.sd.cfg.spacetime.guidance_scale
                   if self.guidance_scale is None else self.guidance_scale)
-            eps_fn = self.sd.make_eps_fn(cond, uncond, gs)
+            eps_fn = self.sd.make_eps_fn(cond, uncond, gs, control, coef_schedule)
             x_T = jax.vmap(
                 lambda s: jax.random.normal(
                     jax.random.PRNGKey(s), (latent, latent, in_ch), jnp.float32
@@ -76,11 +111,35 @@ class TextToImageEngine:
         jax.block_until_ready(self._run(ids, np.zeros(self.batch_size, np.int64)))
         return time.time() - t0
 
-    def _run(self, token_ids: np.ndarray, seeds: np.ndarray):
-        uncond = np.tile(self._uncond_ids, (self.batch_size, 1))
+    def _hosts(self, prompts: List[str]):
+        """Host stage per prompt: layout + local prompts; None → vanilla row."""
+        N = self.sd.cfg.spacetime.max_objects
+        L = self._uncond_ids.shape[0]
+        local_ids = np.tile(self._uncond_ids, (len(prompts), N, 1))
+        centers = np.zeros((len(prompts), N, 2), np.float32)
+        active = np.zeros((len(prompts), N), np.float32)
+        for i, p in enumerate(prompts):
+            h = self.prepare_host(p)
+            if h is None:
+                continue
+            centers[i], active[i] = h["centers"], h["active"]
+            for j, t in enumerate(h["local_texts"][:N]):
+                if t:
+                    local_ids[i, j] = np.asarray(self.tokenize(t), np.int32)[:L]
+        return local_ids, centers, active
+
+    def _run(self, token_ids: np.ndarray, seeds: np.ndarray,
+             local_ids=None, centers=None, active=None):
+        B, N = self.batch_size, self.sd.cfg.spacetime.max_objects
+        uncond = np.tile(self._uncond_ids, (B, 1))
+        if local_ids is None:
+            local_ids = np.tile(self._uncond_ids, (B, N, 1))
+            centers = np.zeros((B, N, 2), np.float32)
+            active = np.zeros((B, N), np.float32)
         return self._generate(
             jnp.asarray(token_ids, jnp.int32), jnp.asarray(uncond),
-            jnp.asarray(seeds, jnp.uint32),
+            jnp.asarray(seeds, jnp.uint32), jnp.asarray(local_ids, jnp.int32),
+            jnp.asarray(centers, jnp.float32), jnp.asarray(active, jnp.float32),
         )
 
     def generate_batch(self, prompts: List[str], seeds: List[int]) -> np.ndarray:
@@ -93,7 +152,22 @@ class TextToImageEngine:
             + [self._uncond_ids] * pad
         )
         s = np.asarray(list(seeds) + [0] * pad, np.int64)
-        imgs = np.asarray(self._run(ids, s))[:n]
+        if self.prepare_host is not None:
+            local_ids, centers, active = self._hosts(prompts)
+            z = np.zeros  # pad rows: inactive control
+            local_ids = np.concatenate(
+                [local_ids, np.tile(self._uncond_ids,
+                                    (pad, local_ids.shape[1], 1))]
+            ) if pad else local_ids
+            centers = np.concatenate(
+                [centers, z((pad,) + centers.shape[1:], np.float32)]
+            ) if pad else centers
+            active = np.concatenate(
+                [active, z((pad,) + active.shape[1:], np.float32)]
+            ) if pad else active
+            imgs = np.asarray(self._run(ids, s, local_ids, centers, active))[:n]
+        else:
+            imgs = np.asarray(self._run(ids, s))[:n]
         imgs = (imgs * 255.0 + 0.5).astype(np.uint8)
         if self.watermark:
             from ..utils.watermark import embed_watermark

@@ -22,6 +22,9 @@ def main():
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--mode", choices=["vanilla", "spatial"], default="vanilla",
+                    help="spatial: layout-predicted per-object attention control")
+    ap.add_argument("--layout-ckpt", default=None)
     ap.add_argument("--sampler", choices=["plms", "ddim", "dpm"], default="plms")
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--scale", type=float, default=7.5)
@@ -83,9 +86,31 @@ def main():
         else (lambda t: ctok.pad_to(ctok.encode(t), cfg.text_encoder.max_len))
     )
 
+    prepare_host = None
+    if args.mode == "spatial":
+        from diffusion_spacetime_attn_tpu.config import LayoutConfig
+        from diffusion_spacetime_attn_tpu.pipeline.frontend import LayoutInference
+        from diffusion_spacetime_attn_tpu.pipeline.runners import PromptRunner
+        from diffusion_spacetime_attn_tpu.utils.loader import load_layout_predictor
+        from diffusion_spacetime_attn_tpu.utils.tokenizer import (
+            make_roberta_tokenizer,
+        )
+
+        lcfg = LayoutConfig()
+        lmodel, lparams = load_layout_predictor(lcfg, args.layout_ckpt)
+        layout = LayoutInference(lmodel, lparams, make_roberta_tokenizer(),
+                                 lcfg.max_len)
+        host_runner = PromptRunner(
+            sd=sd, clip_loss=None, layout=layout,
+            clip_tokenize=tokenize, text_tokenize=tokenize,
+            cfg=cfg.spacetime, mode="spatial",
+        )
+        prepare_host = host_runner.prepare_host
+
     engine = TextToImageEngine(
         sd=sd, tokenize=tokenize, batch_size=args.batch,
         sampler=args.sampler, watermark=args.watermark,
+        prepare_host=prepare_host,
     )
     logger.info("compiling batch-%d %s program…", args.batch, args.sampler)
     logger.info("warmup done in %.1fs", engine.warmup())

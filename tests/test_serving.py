@@ -106,3 +106,28 @@ def test_http_roundtrip(engine):
     finally:
         httpd.shutdown()
         svc.stop()
+
+
+def test_spatial_serving_mode(engine):
+    """prepare_host enables the paper's spatial control in serving; failed
+    layouts fall back to exact-vanilla rows (zero active masks)."""
+    N = engine.sd.cfg.spacetime.max_objects
+
+    def fake_prepare(prompt):
+        if "cat" not in prompt:
+            return None  # layout failure path
+        centers = np.zeros((N, 2), np.float32)
+        active = np.zeros(N, np.float32)
+        centers[0] = (0.3, 0.6)
+        active[0] = 1.0
+        return dict(centers=centers, active=active,
+                    local_texts=["a photo of cat"] + [""] * (N - 1))
+
+    spatial = TextToImageEngine(
+        sd=engine.sd, tokenize=engine.tokenize, batch_size=3,
+        prepare_host=fake_prepare,
+    )
+    a = spatial.generate_batch(["a cat here", "no object"], [1, 2])
+    v = engine.generate_batch(["a cat here", "no object"], [1, 2])
+    assert (a[0] != v[0]).any()            # control changed the cat image
+    np.testing.assert_array_equal(a[1], v[1])  # fallback row is exact vanilla
