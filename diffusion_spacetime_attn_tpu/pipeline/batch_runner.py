@@ -69,7 +69,9 @@ class BatchedRunner:
         cfg = r.cfg
         indices = indices if indices is not None else list(range(len(prompts)))
         if r.mode == "spacetime":
-            optimizer, train_step = make_train_step(r.sd, r.clip_loss, cfg)
+            optimizer, train_step = make_train_step(
+                r.sd, r.clip_loss, cfg, sampler=r.sampler
+            )
             params = model_params(r.sd, r.clip_loss)
             if self.mesh is not None:
                 from ..parallel.mesh import replicate
@@ -126,7 +128,7 @@ class BatchedRunner:
                 eps = r.sd.make_eps_fn(
                     batch.cond, batch.uncond, cfg.guidance_scale, control, coef
                 )
-                z = r.sd.sample_from(eps, batch.x_T, "plms", remat=False)
+                z = r.sd.sample_from(eps, batch.x_T, r.sampler, remat=False)
                 images = r.sd.decode_latents(z)
 
             images = np.asarray(images)

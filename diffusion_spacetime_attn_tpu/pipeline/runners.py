@@ -74,6 +74,8 @@ class PromptRunner:
     cfg: SpaceTimeConfig
     outdir: str = "result_outputs"
     mode: str = "spacetime"  # vanilla | spatial | spacetime
+    sampler: str = "plms"    # plms | ddim | dpm — all three work in every
+                             # mode (unlike the reference, SURVEY §2.1)
     _cached_uncond: Optional[jnp.ndarray] = None
     _train_step: object = None
     _optimizer: object = None
@@ -169,7 +171,7 @@ class PromptRunner:
             eps = self.sd.make_eps_fn(
                 inputs.cond, inputs.uncond, self.cfg.guidance_scale
             )
-            z = self.sd.sample_from(eps, inputs.x_T, "plms", remat=False)
+            z = self.sd.sample_from(eps, inputs.x_T, self.sampler, remat=False)
             images = self.sd.decode_latents(z)
         elif self.mode == "spatial":
             control = SpatialControl(
@@ -182,7 +184,7 @@ class PromptRunner:
             eps = self.sd.make_eps_fn(
                 inputs.cond, inputs.uncond, self.cfg.guidance_scale, control, coef
             )
-            z = self.sd.sample_from(eps, inputs.x_T, "plms", remat=False)
+            z = self.sd.sample_from(eps, inputs.x_T, self.sampler, remat=False)
             images = self.sd.decode_latents(z)
         else:
             if self.clip_loss is None:
@@ -191,10 +193,10 @@ class PromptRunner:
                 from .spacetime import make_train_step
 
                 self._optimizer, self._train_step = make_train_step(
-                    self.sd, self.clip_loss, self.cfg
+                    self.sd, self.clip_loss, self.cfg, sampler=self.sampler
                 )
             images, _, _ = optimize_prompt(
-                self.sd, self.clip_loss, inputs, self.cfg,
+                self.sd, self.clip_loss, inputs, self.cfg, sampler=self.sampler,
                 train_step=self._train_step, optimizer=self._optimizer,
             )
         img = np.asarray(images[0])
