@@ -30,6 +30,8 @@ __all__ = [
     "LayoutTrainer",
     "TextToImageEngine",
     "BatchingService",
+    "Retriever",
+    "RetrievalAugmentedDiffusion",
 ]
 
 
@@ -70,4 +72,12 @@ def __getattr__(name):
         from . import serving
 
         return getattr(serving, name)
+    if name == "Retriever":
+        from .pipeline.retrieval import Retriever
+
+        return Retriever
+    if name == "RetrievalAugmentedDiffusion":
+        from .pipeline.knn2img import RetrievalAugmentedDiffusion
+
+        return RetrievalAugmentedDiffusion
     raise AttributeError(name)

@@ -8,7 +8,7 @@ dataclass so jitted functions can close over them as static values.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -24,6 +24,10 @@ class UNetConfig:
     # downsample factors at which SpatialTransformers are inserted
     attention_resolutions: Tuple[int, ...] = (4, 2, 1)
     num_heads: int = 8
+    # if set, heads = channels // num_head_channels per level (the reference
+    # `openaimodel.py:487-492` supports both; the RDM 768×768 model uses
+    # num_head_channels=32 — `configs/retrieval-augmented-diffusion/768x768.yaml`)
+    num_head_channels: Optional[int] = None
     transformer_depth: int = 1
     context_dim: int = 768
     dropout: float = 0.0
@@ -56,6 +60,12 @@ class VAEConfig:
     out_ch: int = 3
     in_ch: int = 3
     scale_factor: float = 0.18215  # `v1-inference.yaml:17`
+    # encoder/decoder feature-map resolutions that get an AttnBlock after each
+    # resblock (reference ddconfig `attn_resolutions`; SD f8 uses none, the
+    # RDM f16 VAE uses (16,)).  `resolution` is the nominal input size the
+    # resolutions are counted from (reference `model.py` curr_res tracking).
+    attn_resolutions: Tuple[int, ...] = ()
+    resolution: int = 256
     dtype: str = "float32"
 
 

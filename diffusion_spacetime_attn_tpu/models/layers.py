@@ -122,20 +122,33 @@ class BasicTransformerBlock(nn.Module):
     scores_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, context, control: Optional[SpatialControl] = None):
+    def __call__(self, x, context=None, control: Optional[SpatialControl] = None):
         attn1 = CrossAttention(
             self.dim, heads=self.heads, dtype=self.dtype, flash=self.flash,
             q_chunk=self.q_chunk, scores_dtype=self.scores_dtype, name="attn1",
         )
+        # context=None → the second attention is self-attention, exactly the
+        # reference's unconditional-LDM configuration (`attention.py:161`
+        # `context_dim = default(context_dim, query_dim)`; used by e.g.
+        # lsun/ffhq configs and sampled by scripts/sample_diffusion.py)
         attn2 = CrossAttention(
-            self.dim, context_dim=context.shape[-1], heads=self.heads,
-            dtype=self.dtype, fused_control=self.fused_control, name="attn2",
+            self.dim,
+            context_dim=None if context is None else context.shape[-1],
+            heads=self.heads, dtype=self.dtype,
+            fused_control=self.fused_control,
+            flash=self.flash if context is None else False,
+            q_chunk=self.q_chunk if context is None else 0,
+            scores_dtype=self.scores_dtype if context is None else None,
+            name="attn2",
         )
         norm1 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")
         norm2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")
         norm3 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")
         x = attn1(norm_f32(norm1, x)) + x
-        x = attn2.controlled(norm_f32(norm2, x), context, control, self.radius) + x
+        if context is None:
+            x = attn2(norm_f32(norm2, x)) + x
+        else:
+            x = attn2.controlled(norm_f32(norm2, x), context, control, self.radius) + x
         x = GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(
             norm_f32(norm3, x)
         ) + x

@@ -44,13 +44,14 @@ class UNet(nn.Module):
         self,
         x: jnp.ndarray,            # [B, H, W, C] latents (B = 2·prompts under CFG)
         timesteps: jnp.ndarray,    # [B] int32
-        context: jnp.ndarray,      # [B, L, D] text conditioning
+        context: Optional[jnp.ndarray] = None,  # [B, L, D] conditioning; None = unconditional LDM
         control: Optional[SpatialControl] = None,
     ) -> jnp.ndarray:
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
         x = x.astype(dtype)
-        context = context.astype(dtype)
+        if context is not None:
+            context = context.astype(dtype)
 
         # time embedding: sinusoidal(320) → MLP → 1280
         t_emb = timestep_embedding(timesteps, cfg.model_channels).astype(dtype)
@@ -60,9 +61,14 @@ class UNet(nn.Module):
         emb = nn.Dense(emb_dim, dtype=dtype, name="time_embed_2")(emb)
 
         def transformer(ch, name):
+            # fixed head count (SD v1: num_heads=8) or fixed head width
+            # (RDM: num_head_channels=32 → heads = ch // 32), matching
+            # `openaimodel.py:487-492`
+            heads = (ch // cfg.num_head_channels
+                     if cfg.num_head_channels else cfg.num_heads)
             return SpatialTransformer(
                 channels=ch,
-                heads=cfg.num_heads,
+                heads=heads,
                 depth=cfg.transformer_depth,
                 radius=self.radius,
                 dtype=dtype,

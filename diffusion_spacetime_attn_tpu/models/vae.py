@@ -75,11 +75,15 @@ class Encoder(nn.Module):
         x = x.astype(dtype)
         h = nn.Conv(cfg.ch, (3, 3), dtype=dtype, name="conv_in")(x)
         num_levels = len(cfg.ch_mult)
+        curr_res = cfg.resolution
         for level, mult in enumerate(cfg.ch_mult):
             ch = cfg.ch * mult
             for i in range(cfg.num_res_blocks):
                 h = VAEResnetBlock(ch, dtype=dtype, name=f"down_{level}_block_{i}")(h)
+                if curr_res in cfg.attn_resolutions:
+                    h = VAEAttnBlock(dtype=dtype, name=f"down_{level}_attn_{i}")(h)
             if level != num_levels - 1:
+                curr_res //= 2
                 # CompVis pads (0,1,0,1) before the stride-2 conv
                 h = nn.Conv(
                     ch, (3, 3), strides=(2, 2), padding=((0, 1), (0, 1)),
@@ -108,11 +112,15 @@ class Decoder(nn.Module):
         h = VAEResnetBlock(ch, dtype=dtype, name="mid_block_1")(h)
         h = VAEAttnBlock(dtype=dtype, name="mid_attn_1")(h)
         h = VAEResnetBlock(ch, dtype=dtype, name="mid_block_2")(h)
+        curr_res = cfg.resolution // (2 ** (len(cfg.ch_mult) - 1))
         for level in reversed(range(len(cfg.ch_mult))):
             ch = cfg.ch * cfg.ch_mult[level]
             for i in range(cfg.num_res_blocks + 1):
                 h = VAEResnetBlock(ch, dtype=dtype, name=f"up_{level}_block_{i}")(h)
+                if curr_res in cfg.attn_resolutions:
+                    h = VAEAttnBlock(dtype=dtype, name=f"up_{level}_attn_{i}")(h)
             if level != 0:
+                curr_res *= 2
                 B, H, W, C = h.shape
                 h = jax.image.resize(h, (B, H * 2, W * 2, C), method="nearest")
                 h = nn.Conv(C, (3, 3), dtype=dtype, name=f"up_{level}_upsample")(h)

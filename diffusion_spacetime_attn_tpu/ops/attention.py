@@ -22,6 +22,7 @@ which matches `attention.py:284-294` exactly (there stated post-projection).
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -53,25 +54,50 @@ def _tpu_backend() -> bool:
 
 
 def flash_ok(Lq: int, Lk: int, dh: int) -> bool:
-    """Shapes the Pallas TPU flash kernel handles profitably: long
-    self-attention sequences, head_dim ≤ 128 (the kernel requires multiples
-    of 128 above that; SD's 160-dim heads sit at tiny seq lengths where XLA
-    wins anyway)."""
+    """Shapes the Pallas TPU splash kernel handles profitably: long
+    self-attention sequences, head_dim ≤ 128 (SD's 160-dim heads sit at tiny
+    seq lengths where XLA wins anyway)."""
     return Lq == Lk and Lq >= 1024 and dh <= 128 and Lq % 512 == 0
 
 
-def flash_attention(q, k, v, num_heads: int):
-    """Pallas TPU flash attention on [B, L, H*Dh] tensors."""
-    from jax.experimental.pallas.ops.tpu.flash_attention import (
-        flash_attention as _fa,
+def _splash_kernel(num_heads: int, Lq: int, Lk: int):
+    """Splash-attention kernel instance.  Built per call site: the instance
+    is a pytree holding mask-layout arrays that belong to the enclosing trace,
+    so it must not be cached across jit traces (tracer leak otherwise)."""
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_kernel as sk,
+        splash_attention_mask as sm,
     )
 
+    mask = sm.MultiHeadMask([sm.FullMask((Lq, Lk)) for _ in range(num_heads)])
+    bq, bkv = min(1024, Lq), min(1024, Lk)
+    bs = sk.BlockSizes(
+        block_q=bq, block_kv=bkv, block_kv_compute=min(512, Lk),
+        # backward (dq/dkv) blocks — required for the custom VJP, which the
+        # spacetime optimization differentiates through under remat
+        block_q_dkv=min(512, Lq), block_kv_dkv=bkv,
+        block_kv_dkv_compute=min(512, Lk),
+        block_q_dq=min(512, Lq), block_kv_dq=bkv,
+    )
+    return sk.make_splash_mha_single_device(mask, block_sizes=bs)
+
+
+def flash_attention(q, k, v, num_heads: int):
+    """Pallas TPU splash attention on [B, L, H*Dh] tensors.
+
+    Never materializes the [B,H,Lq,Lk] score tensor in HBM (blockwise online
+    softmax in VMEM) — at SD level 0 (Lq=4096) that tensor is what caps the
+    vanilla batch size on a 16 GB chip.  Numerics: bf16 inputs, f32 running
+    max/sum inside the kernel (measured 1.8e-3 max|Δ| vs the f32-softmax XLA
+    path on unit-normal inputs).  Differentiable (custom VJP in the kernel).
+    """
     B, Lq, inner = q.shape
     dh = inner // num_heads
-    qh = jnp.swapaxes(q.reshape(B, Lq, num_heads, dh), 1, 2)
+    kern = _splash_kernel(num_heads, Lq, k.shape[-2])
+    qh = jnp.swapaxes(q.reshape(B, Lq, num_heads, dh), 1, 2) * (dh ** -0.5)
     kh = jnp.swapaxes(k.reshape(B, -1, num_heads, dh), 1, 2)
     vh = jnp.swapaxes(v.reshape(B, -1, num_heads, dh), 1, 2)
-    out = _fa(qh, kh, vh, sm_scale=dh ** -0.5)
+    out = jax.vmap(kern)(qh.astype(kh.dtype), kh, vh)
     return jnp.swapaxes(out, 1, 2).reshape(B, Lq, inner)
 
 

@@ -1,0 +1,155 @@
+"""Retrieval subsystem for retrieval-augmented diffusion (knn2img).
+
+TPU-native re-design of the reference's scann-based `Searcher`
+(`scripts/knn2img.py:61-166`, `scripts/train_searcher.py:62-113`):
+
+  * The reference builds a scann index over L2-normalized CLIP embeddings
+    and queries it on CPU (`score_brute_force()` for small databases,
+    partitioned asymmetric hashing for large ones).
+  * Here the database is a single [M, D] device array and search is an
+    **exact** brute-force top-k: one [B, D] × [D, M] matmul on the MXU
+    followed by `jax.lax.top_k`.  On TPU this is both simpler and faster
+    than approximate search for any database that fits HBM (a 1M × 768
+    f32 database is 3 GB; one query batch costs ~1.5 GFLOP — microseconds
+    on the MXU), and it returns ground-truth neighbors, which approximate
+    scann does not guarantee.
+  * Databases larger than HBM shard over the data axis of a
+    `Mesh(('data',))`: each device scores its shard, top-k is taken over
+    the gathered per-shard winners (k·ndev candidates) — one small
+    all-gather over ICI.
+
+Database format mirrors the reference's retrieval npz (`train_searcher.py:
+28-58`): `embedding` [M, D] (stored normalized), `img_id` [M], and
+`patch_coords` [M, 4].
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def normalize(x: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    return x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + eps)
+
+
+def exact_search(db: jnp.ndarray, queries: jnp.ndarray, k: int
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Ground-truth top-k by cosine score.  db [M, D] (normalized),
+    queries [B, D] → (scores [B, k], indices [B, k])."""
+    sim = jnp.einsum("bd,md->bm", normalize(queries), db,
+                     preferred_element_type=jnp.float32)
+    return jax.lax.top_k(sim, k)
+
+
+def sharded_search(db: jnp.ndarray, queries: jnp.ndarray, k: int, mesh
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Same result as `exact_search`, with the database row-sharded over the
+    mesh's 'data' axis (queries replicated).  Each device emits its local
+    top-k with *global* indices; the final top-k over the gathered
+    candidates is exact because every true winner is its shard's winner."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ndev = mesh.shape["data"]
+    M = db.shape[0]
+    pad = (-M) % ndev
+    if pad:
+        db = jnp.pad(db, ((0, pad), (0, 0)))  # zero rows score 0 (pruned below)
+    qn = normalize(queries)
+
+    def local_topk(db_shard, q):
+        sim = jnp.einsum("bd,md->bm", q, db_shard,
+                         preferred_element_type=jnp.float32)
+        s, i = jax.lax.top_k(sim, k)
+        base = jax.lax.axis_index("data") * db_shard.shape[0]
+        return s, i + base
+
+    from jax.experimental.shard_map import shard_map
+
+    s, i = shard_map(
+        local_topk, mesh=mesh,
+        in_specs=(P("data", None), P()),
+        out_specs=(P(None, "data"), P(None, "data")),
+    )(db, qn)
+    # [B, k·ndev] candidates → exact global top-k
+    s2, pos = jax.lax.top_k(s, k)
+    return s2, jnp.take_along_axis(i, pos, axis=1)
+
+
+@dataclasses.dataclass
+class Retriever:
+    """In-memory retrieval database (the reference `Searcher` equivalent)."""
+
+    embedding: jnp.ndarray            # [M, D], L2-normalized
+    img_id: np.ndarray                # [M]
+    patch_coords: np.ndarray          # [M, 4]
+    mesh: Optional[object] = None
+
+    @classmethod
+    def from_npz(cls, path: str, mesh=None) -> "Retriever":
+        d = np.load(path)
+        emb = np.asarray(d["embedding"], np.float32)
+        emb = emb / (np.linalg.norm(emb, axis=-1, keepdims=True) + 1e-8)
+        return cls(
+            embedding=jnp.asarray(emb),
+            img_id=np.asarray(d["img_id"]) if "img_id" in d else np.arange(len(emb)),
+            patch_coords=(np.asarray(d["patch_coords"]) if "patch_coords" in d
+                          else np.zeros((len(emb), 4), np.float32)),
+            mesh=mesh,
+        )
+
+    def save_npz(self, path: str) -> None:
+        np.savez(path, embedding=np.asarray(self.embedding),
+                 img_id=self.img_id, patch_coords=self.patch_coords)
+
+    def search(self, queries: jnp.ndarray, k: int) -> dict:
+        """queries [B, D] (or [B, 1, D]) → dict like the reference's
+        `Searcher.search` (`knn2img.py:135-161`)."""
+        if queries.ndim == 3:
+            queries = queries[:, 0]
+        if self.mesh is not None and self.mesh.shape.get("data", 1) > 1:
+            scores, idx = sharded_search(self.embedding, queries, k, self.mesh)
+        else:
+            scores, idx = exact_search(self.embedding, queries, k)
+        idx_np = np.asarray(idx)
+        return {
+            "nn_embeddings": self.embedding[idx],   # already normalized
+            "img_ids": self.img_id[idx_np],
+            "patch_coords": self.patch_coords[idx_np],
+            "scores": scores,
+            "nns": idx,
+            "q_embeddings": normalize(queries),
+        }
+
+
+def build_database_from_images(
+    images: np.ndarray,                # [M, H, W, 3] in [0, 1]
+    clip_vision_apply,                 # pixels [B,H,W,3]→ joint embeds [B, D]
+    batch: int = 64,
+    img_ids: Optional[np.ndarray] = None,
+) -> Retriever:
+    """Embed an image collection into a retrieval database on device.
+
+    The reference's databases ship as precomputed CLIP "patch embeddings"
+    (`train_searcher.py:28-58`); this is the equivalent producer, using the
+    framework's own CLIP vision tower (whole image = one patch, coords
+    (0,0,H,W) like full-frame entries).
+    """
+    M = images.shape[0]
+    out = []
+    fn = jax.jit(clip_vision_apply)
+    for s in range(0, M, batch):
+        chunk = jnp.asarray(images[s:s + batch], jnp.float32)
+        out.append(np.asarray(fn(chunk)))
+    emb = np.concatenate(out, axis=0)
+    emb = emb / (np.linalg.norm(emb, axis=-1, keepdims=True) + 1e-8)
+    H, W = images.shape[1:3]
+    coords = np.tile(np.array([0, 0, W, H], np.float32), (M, 1))
+    return Retriever(
+        embedding=jnp.asarray(emb),
+        img_id=img_ids if img_ids is not None else np.arange(M),
+        patch_coords=coords,
+    )

@@ -112,3 +112,37 @@ def test_grad_through_plms_with_remat():
     g = np.asarray(grad)
     assert np.all(np.isfinite(g))
     assert np.any(g != 0)
+
+
+def test_ddpm_matches_numpy_posterior_replication():
+    """ddpm_sample vs a direct numpy replication of the reference posterior
+    chain (`ddpm.py:140-157,219-251`) with a fixed fake eps and fixed noise."""
+    from diffusion_spacetime_attn_tpu.ops.schedule import make_beta_schedule
+    from diffusion_spacetime_attn_tpu.samplers import ddpm_sample
+
+    cfg = ScheduleConfig(num_train_timesteps=16)
+    shape = (2, 4, 4, 2)
+    rng = jax.random.PRNGKey(3)
+    x_T = jnp.array(np.random.RandomState(2).randn(*shape), jnp.float32)
+
+    out = np.asarray(ddpm_sample(linear_eps, x_T, cfg, rng, remat=False))
+
+    # numpy oracle with the same per-step noise draws
+    betas = make_beta_schedule(cfg)
+    alphas = 1.0 - betas
+    ac = np.cumprod(alphas)
+    ac_prev = np.append(1.0, ac[:-1])
+    coef1 = betas * np.sqrt(ac_prev) / (1.0 - ac)
+    coef2 = (1.0 - ac_prev) * np.sqrt(alphas) / (1.0 - ac)
+    log_var = np.log(np.maximum(betas * (1.0 - ac_prev) / (1.0 - ac), 1e-20))
+    rngs = jax.random.split(rng, cfg.num_train_timesteps)
+    x = np.asarray(x_T, np.float64)
+    for i, t in enumerate(reversed(range(cfg.num_train_timesteps))):
+        e = np.asarray(linear_eps(jnp.asarray(x, jnp.float32),
+                                  jnp.asarray(t, jnp.float32), i))
+        x0 = np.sqrt(1.0 / ac[t]) * x - np.sqrt(1.0 / ac[t] - 1.0) * e
+        mean = coef1[t] * x0 + coef2[t] * x
+        noise = np.asarray(jax.random.normal(rngs[i], shape, jnp.float32))
+        x = mean + (t > 0) * np.exp(0.5 * log_var[t]) * noise
+    np.testing.assert_allclose(out, x, rtol=2e-4, atol=2e-5)
+    assert np.all(np.isfinite(out))

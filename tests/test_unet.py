@@ -87,3 +87,20 @@ def test_jit_and_grad_to_coef(unet_and_params):
     g = jax.grad(loss)(jnp.ones((B, 2)))
     assert np.all(np.isfinite(np.asarray(g)))
     assert np.any(np.asarray(g) != 0)
+
+
+def test_unconditional_context_free_forward():
+    """context=None → the cross-attention slot becomes self-attention
+    (reference `attention.py:161` default(context_dim, query_dim)); used by
+    unconditional LDMs (`scripts/sample_diffusion.py`)."""
+    unet = UNet(TINY, radius=0.2)
+    x = jnp.array(np.random.RandomState(0).randn(2, 16, 16, 4), jnp.float32)
+    t = jnp.array([3, 7], jnp.int32)
+    params = unet.init(jax.random.PRNGKey(0), x, t, None)["params"]
+    params = randomize_params(params, jax.random.PRNGKey(1))
+    out = jax.jit(lambda p, x, t: unet.apply({"params": p}, x, t, None))(
+        params, x, t)
+    assert out.shape == x.shape and bool(jnp.all(jnp.isfinite(out)))
+    # attn2 q/k/v all project from the model dim (self-attention shape)
+    a2 = params["down_attn_0"]["block_0"]["attn2"]
+    assert a2["to_k"]["kernel"].shape[0] == a2["to_q"]["kernel"].shape[0]
