@@ -195,6 +195,17 @@ class LDMTrainConfig:
     original_elbo_weight: float = 0.0
     learn_logvar: bool = False
     logvar_init: float = 0.0
+    # LR-multiplier schedule over the scaled lr (reference `main.py:691-701`
+    # wraps the optimizer in a LambdaLR when the config has `scheduler_config`;
+    # SD configs use LambdaLinearScheduler with warm_up_steps=[10000]).
+    # "none" | "lambda_linear" | "warmup_cosine"
+    lr_schedule: str = "none"
+    lr_warmup_steps: int = 10000         # `configs/latent-diffusion/*: [10000]`
+    lr_f_start: float = 1e-6
+    lr_f_min: float = 1.0
+    lr_f_max: float = 1.0
+    lr_cycle_steps: int = 1_000_000_000  # effectively one unbounded cycle
+                                         # (int32-safe; ~19k years at 1 step/s)
 
 
 @dataclasses.dataclass(frozen=True)

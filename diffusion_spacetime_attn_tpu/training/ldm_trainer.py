@@ -85,7 +85,18 @@ def scaled_lr(cfg: LDMTrainConfig, batch_size: int, num_devices: int) -> float:
 
 
 def make_optimizer(cfg: LDMTrainConfig, lr: float) -> optax.GradientTransformation:
-    opt = optax.adamw(lr, weight_decay=cfg.weight_decay)
+    if cfg.lr_schedule == "none":
+        lr_or_sched = lr
+    else:
+        # LambdaLR multiplier × scaled lr (reference `main.py:691-701`)
+        from .schedules import lambda_linear_schedule, warmup_cosine_schedule2
+
+        make = (lambda_linear_schedule if cfg.lr_schedule == "lambda_linear"
+                else warmup_cosine_schedule2)
+        mult = make([cfg.lr_warmup_steps], [cfg.lr_f_min], [cfg.lr_f_max],
+                    [cfg.lr_f_start], [cfg.lr_cycle_steps])
+        lr_or_sched = lambda step: lr * mult(step)
+    opt = optax.adamw(lr_or_sched, weight_decay=cfg.weight_decay)
     if cfg.grad_clip_norm:
         opt = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), opt)
     if cfg.accum_steps > 1:

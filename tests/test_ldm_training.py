@@ -188,3 +188,79 @@ def test_checkpoint_roundtrip(tiny_setup, tmp_path):
     a = jax.tree_util.tree_leaves(state.params)[0]
     b = jax.tree_util.tree_leaves(restored.params)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_compvis_lr_schedules_match_reference_formulas():
+    """warmup_cosine / cosine2 / lambda_linear vs direct numpy replications of
+    `ldm/lr_scheduler.py:4-98` (same warmup line, cosine/linear decay, cycle
+    arithmetic)."""
+    import numpy as np
+
+    from diffusion_spacetime_attn_tpu.training.schedules import (
+        lambda_linear_schedule,
+        warmup_cosine_schedule,
+        warmup_cosine_schedule2,
+    )
+
+    # --- scheduler 1 ---
+    s = warmup_cosine_schedule(10, lr_min=0.1, lr_max=1.0, lr_start=0.0,
+                               max_decay_steps=50)
+    for n in [0, 3, 9, 10, 25, 49, 60]:
+        if n < 10:
+            want = (1.0 - 0.0) / 10 * n + 0.0
+        else:
+            t = min((n - 10) / (50 - 10), 1.0)
+            want = 0.1 + 0.5 * (1.0 - 0.1) * (1 + np.cos(t * np.pi))
+        np.testing.assert_allclose(float(s(jnp.asarray(n))), want, rtol=1e-5,
+                                   err_msg=f"n={n}")
+
+    # --- scheduler 2 (two cycles, cosine) ---
+    wu, fmin, fmax, fstart, cyc = [5, 3], [0.2, 0.1], [1.0, 0.5], [0.0, 0.0], [20, 30]
+    s2 = warmup_cosine_schedule2(wu, fmin, fmax, fstart, cyc)
+    cum = np.cumsum([0] + cyc)
+
+    def ref2(n, cosine):
+        c = 0 if n <= cum[1] else 1
+        m = n - cum[c]
+        if m < wu[c]:
+            return (fmax[c] - fstart[c]) / wu[c] * m + fstart[c]
+        if cosine:
+            t = min((m - wu[c]) / (cyc[c] - wu[c]), 1.0)
+            return fmin[c] + 0.5 * (fmax[c] - fmin[c]) * (1 + np.cos(t * np.pi))
+        return fmin[c] + (fmax[c] - fmin[c]) * (cyc[c] - m) / cyc[c]
+
+    for n in [0, 2, 5, 12, 20, 21, 22, 24, 35, 49]:
+        np.testing.assert_allclose(float(s2(jnp.asarray(n))), ref2(n, True),
+                                   rtol=1e-5, err_msg=f"n={n}")
+
+    # --- lambda_linear (the SD configs' scheduler) ---
+    s3 = lambda_linear_schedule(wu, fmin, fmax, fstart, cyc)
+    for n in [0, 2, 5, 12, 20, 21, 24, 35, 49]:
+        np.testing.assert_allclose(float(s3(jnp.asarray(n))), ref2(n, False),
+                                   rtol=1e-5, err_msg=f"n={n}")
+
+
+def test_ldm_trainer_with_lambda_linear_schedule_steps():
+    """A few train steps with the scheduled optimizer: lr multiplier starts
+    near f_start (tiny updates) and grows over warmup."""
+    cfg = LDMTrainConfig(batch_size=2, base_lr=1e-3, scale_lr=False,
+                         use_ema=False, lr_schedule="lambda_linear",
+                         lr_warmup_steps=100)
+    sched_cfg = ScheduleConfig(num_train_timesteps=16)
+    schedule = make_schedule(sched_cfg, 4)
+
+    def eps_model(params, x, t, context):
+        return x * params["w"]
+
+    step = make_train_step(cfg, sched_cfg, schedule, eps_model, lr=1e-3)
+    params = {"w": jnp.ones(())}
+    state = init_state(cfg, sched_cfg, params, 1e-3)
+    x0 = jnp.ones((2, 4, 4, 2))
+    ctx = jnp.zeros((2, 3, 8))
+    s1, _ = step(state, x0, ctx, jax.random.PRNGKey(0))
+    d1 = abs(float(s1.params["w"]) - 1.0)
+    for _ in range(20):
+        s1, _ = step(s1._replace(step=s1.step), x0, ctx, jax.random.PRNGKey(1))
+    # after warmup progress the multiplier (and typical update size) grew
+    assert d1 < 1e-6  # first update scaled by ~f_start=1e-6
+    assert abs(float(s1.params["w"]) - 1.0) > d1
