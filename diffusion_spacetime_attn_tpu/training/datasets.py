@@ -230,3 +230,81 @@ def synthetic_examples(n: int, rng: np.random.RandomState) -> List[LayoutExample
             )
         )
     return out
+
+
+# --- VG-MSDN (Visual Genome scene graphs) ---------------------------------
+
+# VG predicates that map onto the hinge-loss spatial relations
+# (`trainer/loss.py:315-333` supervises exactly above/below/left/right)
+VG_PRED_TO_REL = {
+    "above": "above", "over": "above", "on": "above", "on top of": "above",
+    "below": "below", "under": "below", "beneath": "below",
+    "underneath": "below",
+    "left of": "left of", "to the left of": "left of",
+    "right of": "right of", "to the right of": "right of",
+}
+
+
+def load_vg_msdn_examples(
+    instances_json_path: str,
+    limit: Optional[int] = None,
+    max_triples: int = 8,
+) -> List[LayoutExample]:
+    """Parse VG-MSDN scene-graph instances into `LayoutExample`s.
+
+    Reference: `loader/VGmsdnDataset.py:24-157` — each record is
+    `{id, path, width, height, objects: [{class, box: [x0,y0,x1,y1]}],
+    relationships: [{sub_id, obj_id, predicate}]}`; the reference builds a
+    `[CLS] sub pred obj [SEP] …` sentence in its own closed vocab for the
+    legacy discrete decoders (unreachable from `build_model`, which only
+    constructs `Rel2Bbox`).  Here the triples become a natural-language
+    triple sentence consumed by the *live* Rel2Bbox path: spatial predicates
+    supervise the hinge relations, and every mentioned object carries its GT
+    normalized (xc, yc) center for the GMM-NLL half — the same two-loss
+    split as the COCO epoch (`trainer/Pretrain.py:199-233`).
+    """
+    import json as _json
+
+    with open(instances_json_path) as f:
+        data = _json.load(f)
+    out: List[LayoutExample] = []
+    for img in data[: limit or len(data)]:
+        W, H = float(img["width"]), float(img["height"])
+        objs = img.get("objects", [])
+        rels = img.get("relationships", [])
+        if not rels or not objs or W <= 0 or H <= 0:
+            continue
+        words: List[str] = []
+        relations: List[Sequence] = []
+        first_mention = {}          # obj_id -> word index of first mention
+        for rel in rels[:max_triples]:
+            s, o = rel["sub_id"], rel["obj_id"]
+            if s >= len(objs) or o >= len(objs):
+                continue
+            si = len(words)
+            words.extend(str(objs[s]["class"]).split())
+            words.extend(str(rel["predicate"]).split())
+            oi = len(words)
+            words.extend(str(objs[o]["class"]).split())
+            words.append(".")
+            rname = VG_PRED_TO_REL.get(str(rel["predicate"]).lower().strip())
+            if rname is not None:
+                relations.append([si, oi, rname])
+            for wi, obj_id in ((si, s), (oi, o)):
+                first_mention.setdefault(obj_id, wi)
+        if not first_mention:
+            continue
+        abs_xy = []
+        for obj_id, wi in first_mention.items():
+            x0, y0, x1, y1 = objs[obj_id]["box"]
+            abs_xy.append((wi, (x0 + x1) / (2.0 * W), (y0 + y1) / (2.0 * H)))
+        out.append(
+            LayoutExample(
+                caption=" ".join(words),
+                words=words,
+                object_word_idx=[wi for wi, _, _ in abs_xy],
+                relations=relations,
+                abs_xy=abs_xy,
+            )
+        )
+    return out

@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--synthetic", action="store_true", help="use synthetic corpus")
     ap.add_argument("--coco-instances", default=None,
                     help="COCO instances JSON (adds absolute-target half)")
+    ap.add_argument("--vg-instances", default=None,
+                    help="VG-MSDN instances json (train on Visual-Genome "
+                         "scene graphs, reference DATASETS.NAME=vg_msdn)")
     ap.add_argument("--coco-captions", default=None,
                     help="COCO captions JSON")
     args = ap.parse_args()
@@ -49,6 +52,13 @@ def main():
     rng = np.random.RandomState(0)
     if args.synthetic:
         examples = synthetic_examples(512, rng)
+    elif args.vg_instances:
+        from diffusion_spacetime_attn_tpu.training.datasets import (
+            load_vg_msdn_examples,
+        )
+
+        examples = load_vg_msdn_examples(args.vg_instances)
+        print(f"loaded {len(examples)} VG-MSDN scene-graph examples")
     else:
         examples = load_gpt3_examples(args.gpt3_pkl)
         if args.coco_instances and args.coco_captions:

@@ -223,3 +223,60 @@ def test_load_coco_caption_examples(tmp_path):
                      max_len=24, drop_last=False))
     assert b.abs_valid.sum() == 3
     assert b.rel_valid.sum() == 0
+
+
+def test_vg_msdn_loader_and_train_step(tmp_path):
+    """VG-MSDN scene-graph parsing (reference `loader/VGmsdnDataset.py`):
+    triple sentence, hinge relations for spatial predicates, absolute (xc,yc)
+    from GT boxes — then one train step on the resulting batch."""
+    import json
+
+    from diffusion_spacetime_attn_tpu.training.datasets import (
+        example_to_arrays,
+        load_vg_msdn_examples,
+    )
+
+    data = [
+        {
+            "id": 1, "path": "a.jpg", "width": 200, "height": 100,
+            "objects": [
+                {"class": "dog", "box": [0, 0, 100, 50]},
+                {"class": "traffic light", "box": [100, 50, 200, 100]},
+            ],
+            "relationships": [
+                {"sub_id": 0, "obj_id": 1, "predicate": "left of"},
+                {"sub_id": 1, "obj_id": 0, "predicate": "wearing"},  # non-spatial
+            ],
+        },
+        {"id": 2, "path": "b.jpg", "width": 10, "height": 10,
+         "objects": [{"class": "cat", "box": [0, 0, 10, 10]}],
+         "relationships": []},  # skipped (no relations)
+    ]
+    p = str(tmp_path / "vg.json")
+    json.dump(data, open(p, "w"))
+
+    exs = load_vg_msdn_examples(p)
+    assert len(exs) == 1
+    ex = exs[0]
+    # triple sentence: "dog left of traffic light . traffic light wearing dog ."
+    assert ex.words[0] == "dog" and "." in ex.words
+    # one hinge relation (the spatial predicate only)
+    assert len(ex.relations) == 1 and ex.relations[0][2] == "left of"
+    # absolute targets: dog center (0.25, 0.25), light center (0.75, 0.75)
+    xy = {ex.words[w]: (x, y) for w, x, y in ex.abs_xy}
+    np.testing.assert_allclose(xy["dog"], (0.25, 0.25))
+    np.testing.assert_allclose(xy["traffic"], (0.75, 0.75))
+
+    tok = make_roberta_tokenizer()
+    arr = example_to_arrays(ex, tok, max_len=32, max_rels=2, max_objs=4)
+    assert arr["rel_valid"].sum() == 1.0 and arr["abs_valid"].sum() == 2.0
+
+    model, params = create_layout_predictor(TINY, jax.random.PRNGKey(0))
+    train_cfg = LayoutTrainConfig(batch_size=2, warmup_steps=2, hold_steps=2,
+                                  decay_steps=100)
+    trainer = LayoutTrainer.create(TINY, train_cfg, params)
+    opt_state = trainer.init_state(params)
+    for batch in batches([ex, ex], tok, 2, np.random.RandomState(0),
+                         max_len=32, max_rels=2, max_objs=4, epochs=1):
+        params, opt_state, loss, _ = trainer.train_step(params, opt_state, batch)
+        assert np.isfinite(float(loss))
