@@ -30,7 +30,10 @@ def main():
     ap.add_argument("--mode", choices=["vanilla", "spatial", "spacetime"], default="vanilla")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--batch", type=int, default=8, help="prompts per step (8 + bf16 scores = measured sweet spot on v5e: 74.2 img/min; 9+ spills HBM)")
-    ap.add_argument("--flash", action="store_true", help="Pallas flash self-attention")
+    ap.add_argument("--flash", default=None, action="store_true",
+                    help="splash self-attention; default ON in spacetime mode "
+                         "(1.8x faster grad chain, batches to 8), OFF otherwise")
+    ap.add_argument("--no-flash", dest="flash", action="store_false")
     ap.add_argument("--q-chunk", type=int, default=0,
                     help=">0: query-chunked long self-attention (enables batch>7)")
     ap.add_argument("--scores-dtype", default="bfloat16",
@@ -59,6 +62,8 @@ def main():
     from diffusion_spacetime_attn_tpu.ops.schedule import make_schedule
     from diffusion_spacetime_attn_tpu.pipeline.pipeline import StableDiffusion
 
+    if args.flash is None:
+        args.flash = args.mode == "spacetime"
     cfg = PipelineConfig(
         unet=UNetConfig(dtype=args.dtype, use_flash=args.flash,
                         use_fused_control=args.fused_control,

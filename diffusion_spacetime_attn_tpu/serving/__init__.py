@@ -1,1 +1,6 @@
-from .server import BatchingService, TextToImageEngine, serve  # noqa: F401
+from .server import (  # noqa: F401
+    BatchingService,
+    SpaceTimeEngine,
+    TextToImageEngine,
+    serve,
+)

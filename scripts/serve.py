@@ -22,9 +22,15 @@ def main():
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--mode", choices=["vanilla", "spatial"], default="vanilla",
-                    help="spatial: layout-predicted per-object attention control")
+    ap.add_argument("--mode", choices=["vanilla", "spatial", "spacetime"],
+                    default="vanilla",
+                    help="spatial: layout-predicted per-object attention "
+                         "control; spacetime: full per-request temporal "
+                         "weight optimization (grads through the chain)")
     ap.add_argument("--layout-ckpt", default=None)
+    ap.add_argument("--clip-ckpt", default=None,
+                    help="OpenAI CLIP ViT-B/32 weights for the spacetime "
+                         "fidelity loss (random without: smoke mode)")
     ap.add_argument("--sampler", choices=["plms", "ddim", "dpm"], default="plms")
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--scale", type=float, default=7.5)
@@ -60,6 +66,10 @@ def main():
 
     logger = get_logger("serve")
     if args.tiny:
+        from diffusion_spacetime_attn_tpu.config import (
+            CLIPConfig, CLIPVisionConfig,
+        )
+
         cfg = PipelineConfig(
             unet=UNetConfig(model_channels=32, channel_mult=(1, 2),
                             num_res_blocks=1, attention_resolutions=(1, 2),
@@ -67,12 +77,21 @@ def main():
             vae=VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1),
             text_encoder=CLIPTextConfig(width=16, layers=2, heads=2,
                                         vocab_size=49408, max_len=7),
+            loss_clip=CLIPConfig(
+                vision=CLIPVisionConfig(image_size=14, patch_size=7, width=16,
+                                        layers=2, heads=2, projection_dim=8),
+                text=CLIPTextConfig(width=16, layers=2, heads=2,
+                                    vocab_size=49408, max_len=7),
+                projection_dim=8,
+            ),
             spacetime=SpaceTimeConfig(num_steps=4, latent_size=16,
-                                      image_size=32),
+                                      image_size=32, epochs=2),
         )
     else:
         cfg = PipelineConfig(
-            unet=UNetConfig(dtype=args.dtype, attn_scores_dtype=args.scores_dtype),
+            unet=UNetConfig(dtype=args.dtype, attn_scores_dtype=args.scores_dtype,
+                            # splash: 1.8x faster grad chain, batches to 8
+                            use_flash=args.mode == "spacetime"),
             vae=VAEConfig(dtype=args.dtype),
             spacetime=SpaceTimeConfig(num_steps=args.steps,
                                       guidance_scale=args.scale),
@@ -87,7 +106,8 @@ def main():
     )
 
     prepare_host = None
-    if args.mode == "spatial":
+    host_runner = None
+    if args.mode in ("spatial", "spacetime"):
         from diffusion_spacetime_attn_tpu.config import LayoutConfig
         from diffusion_spacetime_attn_tpu.pipeline.frontend import LayoutInference
         from diffusion_spacetime_attn_tpu.pipeline.runners import PromptRunner
@@ -96,22 +116,58 @@ def main():
             make_roberta_tokenizer,
         )
 
+        clip_loss = None
+        if args.mode == "spacetime":
+            import jax.numpy as jnp
+
+            from diffusion_spacetime_attn_tpu.models.clip import CLIP
+            from diffusion_spacetime_attn_tpu.pipeline.losses import DCLIPLoss
+            from diffusion_spacetime_attn_tpu.utils import convert
+            from diffusion_spacetime_attn_tpu.utils.testing import (
+                randomize_params,
+            )
+
+            clip_model = CLIP(cfg.loss_clip)
+            if args.clip_ckpt:
+                clip_params = convert.convert_openai_clip(
+                    convert.load_torch_checkpoint(args.clip_ckpt))
+            else:
+                clip_params = randomize_params(
+                    jax.eval_shape(
+                        clip_model.init, jax.random.PRNGKey(0),
+                        jnp.zeros((1, clip_model.cfg.vision.image_size,
+                                   clip_model.cfg.vision.image_size, 3)),
+                        jnp.zeros((1, 77), jnp.int32),
+                    )["params"],
+                    jax.random.PRNGKey(9),
+                )
+                logger.info("no --clip-ckpt: random fidelity-loss CLIP (smoke)")
+            clip_loss = DCLIPLoss(clip_model, clip_params)
+
         lcfg = LayoutConfig()
         lmodel, lparams = load_layout_predictor(lcfg, args.layout_ckpt)
         layout = LayoutInference(lmodel, lparams, make_roberta_tokenizer(),
                                  lcfg.max_len)
         host_runner = PromptRunner(
-            sd=sd, clip_loss=None, layout=layout,
+            sd=sd, clip_loss=clip_loss, layout=layout,
             clip_tokenize=tokenize, text_tokenize=tokenize,
-            cfg=cfg.spacetime, mode="spatial",
+            cfg=cfg.spacetime, mode=args.mode, sampler=args.sampler,
         )
         prepare_host = host_runner.prepare_host
 
-    engine = TextToImageEngine(
-        sd=sd, tokenize=tokenize, batch_size=args.batch,
-        sampler=args.sampler, watermark=args.watermark,
-        prepare_host=prepare_host,
-    )
+    if args.mode == "spacetime":
+        from diffusion_spacetime_attn_tpu.serving import SpaceTimeEngine
+
+        engine = SpaceTimeEngine(
+            runner=host_runner, batch_size=args.batch,
+            watermark=args.watermark,
+        )
+    else:
+        engine = TextToImageEngine(
+            sd=sd, tokenize=tokenize, batch_size=args.batch,
+            sampler=args.sampler, watermark=args.watermark,
+            prepare_host=prepare_host,
+        )
     logger.info("compiling batch-%d %s program…", args.batch, args.sampler)
     logger.info("warmup done in %.1fs", engine.warmup())
     service = BatchingService(engine, max_wait_s=args.max_wait).start()

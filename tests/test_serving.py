@@ -131,3 +131,55 @@ def test_spatial_serving_mode(engine):
     v = engine.generate_batch(["a cat here", "no object"], [1, 2])
     assert (a[0] != v[0]).any()            # control changed the cat image
     np.testing.assert_array_equal(a[1], v[1])  # fallback row is exact vanilla
+
+
+class _AnyCenter(dict):
+    """Layout stub: any phrase resolves to a fixed center."""
+
+    def __missing__(self, key):
+        return (0.3, 0.6)
+
+
+def test_spacetime_serving_mode(engine):
+    """Full-method serving: per-request temporal optimization; rows without a
+    layout degenerate to vanilla (zero active); per-request seeds reproducible
+    independent of batch packing."""
+    from diffusion_spacetime_attn_tpu.config import CLIPConfig, CLIPVisionConfig
+    from diffusion_spacetime_attn_tpu.models.clip import CLIP
+    from diffusion_spacetime_attn_tpu.pipeline.losses import DCLIPLoss
+    from diffusion_spacetime_attn_tpu.pipeline.runners import PromptRunner
+    from diffusion_spacetime_attn_tpu.serving import SpaceTimeEngine
+
+    loss_cfg = CLIPConfig(
+        vision=dataclasses.replace(
+            CLIPVisionConfig(), image_size=14, patch_size=7, width=16,
+            layers=2, heads=2, projection_dim=8),
+        text=CLIPTextConfig(width=16, layers=2, heads=2, vocab_size=49408,
+                            max_len=7),
+        projection_dim=8,
+    )
+    clip_model = CLIP(loss_cfg)
+    clip_params = randomize_params(
+        clip_model.init(jax.random.PRNGKey(0), jnp.zeros((1, 14, 14, 3)),
+                        jnp.zeros((1, 7), jnp.int32))["params"],
+        jax.random.PRNGKey(1), 0.2)
+    runner = PromptRunner(
+        sd=engine.sd,
+        clip_loss=DCLIPLoss(clip_model, clip_params),
+        layout=lambda p: _AnyCenter({"cat": (0.3, 0.6)}),
+        clip_tokenize=engine.tokenize,
+        text_tokenize=engine.tokenize,
+        cfg=dataclasses.replace(engine.sd.cfg.spacetime, epochs=2),
+        mode="spacetime",
+    )
+    st = SpaceTimeEngine(runner=runner, batch_size=2)
+    imgs = st.generate_batch(["a cat here", "qqq zzz www"], [1, 2])
+    assert imgs.shape == (2, 32, 32, 3) and imgs.dtype == np.uint8
+    # packing-independent per-request reproducibility
+    solo = st.generate_batch(["a cat here"], [1])
+    np.testing.assert_array_equal(imgs[0], solo[0])
+    # the optimized row differs from the plain engine's vanilla output;
+    # the no-layout row is (optimizer-no-op) vanilla-equivalent sampling of
+    # the same per-request noise but through the spacetime x_T path
+    v = engine.generate_batch(["a cat here"], [1])
+    assert (imgs[0] != v[0]).any()
