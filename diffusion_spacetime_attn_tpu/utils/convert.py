@@ -386,3 +386,28 @@ def convert_hf_roberta(sd: Dict[str, np.ndarray], prefix: str = ""):
         }
         i += 1
     return params
+
+
+# torchvision VGG16 `features` conv indices, in order (pools at 4,9,16,23,30)
+_VGG16_CONV_IDX = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+_VGG16_SLICE_OF = {0: 1, 2: 1, 5: 2, 7: 2, 10: 3, 12: 3, 14: 3,
+                   17: 4, 19: 4, 21: 4, 24: 5, 26: 5, 28: 5}
+
+
+def convert_lpips(sd: Dict[str, np.ndarray]):
+    """taming-transformers LPIPS checkpoint (`taming/modules/lpips.py` —
+    `net.sliceK.<i>.weight` VGG16 convs with torchvision feature indices
+    preserved, `lin{j}.model.1.weight` 1×1 heads) → `training.perceptual.LPIPS`
+    params.  The fixed scaling-layer constants are compiled into the module."""
+    vgg = {}
+    for j, i in enumerate(_VGG16_CONV_IDX):
+        k = f"net.slice{_VGG16_SLICE_OF[i]}.{i}"
+        vgg[f"conv_{j}"] = {
+            "kernel": np.transpose(np.asarray(sd[f"{k}.weight"]), (2, 3, 1, 0)),
+            "bias": np.asarray(sd[f"{k}.bias"]),
+        }
+    params = {"vgg": vgg}
+    for j in range(5):
+        w = np.asarray(sd[f"lin{j}.model.1.weight"])  # [1, C, 1, 1]
+        params[f"lin_{j}"] = {"kernel": np.transpose(w, (2, 3, 1, 0))}
+    return params

@@ -103,3 +103,34 @@ def test_vae_train_step_runs_and_reduces_rec(disc_on):
     else:
         # gate closed: disc_factor 0 ⇒ no adversarial pressure on the AE
         assert float(m["disc_loss"]) == 0.0
+
+
+def test_lpips_converter_structure_and_apply():
+    """convert_lpips maps a taming-layout state_dict (torchvision VGG16
+    feature indices preserved inside slices, lin{j}.model.1 1x1 heads) onto
+    the flax LPIPS; the converted tree applies cleanly."""
+    from diffusion_spacetime_attn_tpu.utils.convert import (
+        _VGG16_CONV_IDX, _VGG16_SLICE_OF, convert_lpips,
+    )
+
+    r = np.random.RandomState(0)
+    plan = [64, 64, 128, 128, 256, 256, 256, 512, 512, 512, 512, 512, 512]
+    sd = {}
+    cin = 3
+    for j, i in enumerate(_VGG16_CONV_IDX):
+        k = f"net.slice{_VGG16_SLICE_OF[i]}.{i}"
+        sd[f"{k}.weight"] = r.randn(plan[j], cin, 3, 3).astype(np.float32)
+        sd[f"{k}.bias"] = r.randn(plan[j]).astype(np.float32)
+        cin = plan[j]
+    for j, c in enumerate([64, 128, 256, 512, 512]):
+        sd[f"lin{j}.model.1.weight"] = np.abs(
+            r.randn(1, c, 1, 1)).astype(np.float32)
+
+    params = convert_lpips(sd)
+    lp = LPIPS()
+    x = jnp.asarray(r.rand(1, 32, 32, 3) * 2 - 1, jnp.float32)
+    y = jnp.asarray(r.rand(1, 32, 32, 3) * 2 - 1, jnp.float32)
+    d = lp.apply({"params": params}, x, y)
+    assert d.shape == (1, 1, 1, 1) and np.isfinite(float(d[0, 0, 0, 0]))
+    np.testing.assert_allclose(
+        float(lp.apply({"params": params}, x, x)[0, 0, 0, 0]), 0.0, atol=1e-6)
