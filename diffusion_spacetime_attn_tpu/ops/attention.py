@@ -70,7 +70,10 @@ def _splash_kernel(num_heads: int, Lq: int, Lk: int):
     )
 
     mask = sm.MultiHeadMask([sm.FullMask((Lq, Lk)) for _ in range(num_heads)])
-    bq, bkv = min(1024, Lq), min(1024, Lk)
+    import os
+
+    _bs = int(os.environ.get("DSTA_SPLASH_BLOCK", "1024"))
+    bq, bkv = min(_bs, Lq), min(_bs, Lk)
     bs = sk.BlockSizes(
         block_q=bq, block_kv=bkv, block_kv_compute=min(512, Lk),
         # backward (dq/dkv) blocks — required for the custom VJP, which the
