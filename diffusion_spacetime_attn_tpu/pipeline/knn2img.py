@@ -122,7 +122,25 @@ class RetrievalAugmentedDiffusion:
         guidance_scale: float = 5.0,            # reference default (`knn2img.py:381`)
         sampler: str = "ddim",
     ) -> jnp.ndarray:
-        """Conditioning → images in [0, 1].  uncond = zeros (`knn2img.py:364`)."""
+        """Conditioning → images in [0, 1].  uncond = zeros (`knn2img.py:364`).
+
+        NOTE: closes over the bundle's params — fine eagerly or at tiny
+        scale, but jit `sample_with_params` instead for the full model
+        (closed-over params bake GBs of constants into the executable)."""
+        return self.sample_with_params(
+            self.unet_params, self.vae_params, cond, rng,
+            guidance_scale=guidance_scale, sampler=sampler)
+
+    def sample_with_params(
+        self,
+        unet_params,
+        vae_params,
+        cond: jnp.ndarray,
+        rng: jax.Array,
+        guidance_scale: float = 5.0,
+        sampler: str = "ddim",
+    ) -> jnp.ndarray:
+        """Pure-function variant: params are explicit jit arguments."""
         B = cond.shape[0]
         uc = jnp.zeros_like(cond)
         context = jnp.concatenate([uc, cond], axis=0)
@@ -130,7 +148,7 @@ class RetrievalAugmentedDiffusion:
         def eps_fn(x, t, i):
             x_in = jnp.concatenate([x, x], axis=0)
             t_in = jnp.full((2 * B,), t, jnp.int32)
-            e = self.unet.apply({"params": self.unet_params}, x_in, t_in, context)
+            e = self.unet.apply({"params": unet_params}, x_in, t_in, context)
             e_u, e_c = e[:B], e[B:]
             return e_u + guidance_scale * (e_c - e_u)
 
@@ -140,6 +158,6 @@ class RetrievalAugmentedDiffusion:
         fn = {"ddim": ddim_sample, "plms": plms_sample,
               "dpm": dpm_solver_sample}[sampler]
         z = fn(eps_fn, x_T, self.schedule, remat=False)
-        img = self.vae.apply({"params": self.vae_params}, z / self.scale_factor,
+        img = self.vae.apply({"params": vae_params}, z / self.scale_factor,
                              method=AutoencoderKL.decode)
         return jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)

@@ -103,9 +103,12 @@ def main():
 
     encode_text = jax.jit(
         lambda p, ids: clip.apply({"params": p}, ids, method=CLIP.encode_text))
-    sample = jax.jit(
-        lambda c, k: rdm.sample(c, k, guidance_scale=args.scale,
-                                sampler="plms" if args.plms else "ddim"))
+    # params as explicit jit args (closed-over params bake GB constants)
+    sample_fn = jax.jit(
+        lambda up, vp, c, k: rdm.sample_with_params(
+            up, vp, c, k, guidance_scale=args.scale,
+            sampler="plms" if args.plms else "ddim"))
+    sample = lambda c, k: sample_fn(rdm.unet_params, rdm.vae_params, c, k)
 
     rng = jax.random.PRNGKey(args.seed)
     count = 0
