@@ -214,13 +214,13 @@ def greedy_decode(model: Rel2Layout, params, tokens, obj_ids, segments,
     T = max_len or c.max_out_len
     B = tokens.shape[0]
     memory = model.apply({"params": params}, tokens, obj_ids, segments,
-                         token_types, pad_mask, method=Rel2Layout.encode)
+                         token_types, pad_mask, method=type(model).encode)
 
     def body(carry, t):
         cls_t, pos_t, shp_t = carry  # [B, T] buffers, BOS-initialized
         lc, lp, ls = model.apply(
             {"params": params}, cls_t, pos_t, shp_t, memory, pad_mask,
-            method=Rel2Layout.decode)
+            method=type(model).decode)
         nc = jnp.argmax(lc[:, t], -1)
         np_ = jnp.argmax(lp[:, t], -1)
         ns = jnp.argmax(ls[:, t], -1)
@@ -251,7 +251,7 @@ def beam_decode(model: Rel2Layout, params, tokens, obj_ids, segments,
     B = tokens.shape[0]
     K = beam
     memory = model.apply({"params": params}, tokens, obj_ids, segments,
-                         token_types, pad_mask, method=Rel2Layout.encode)
+                         token_types, pad_mask, method=type(model).encode)
     memory_k = jnp.repeat(memory, K, axis=0)
     pad_k = jnp.repeat(pad_mask, K, axis=0)
 
@@ -269,7 +269,7 @@ def beam_decode(model: Rel2Layout, params, tokens, obj_ids, segments,
             {"params": params},
             cls_t.reshape(B * K, T + 1), pos_t.reshape(B * K, T + 1),
             shp_t.reshape(B * K, T + 1), memory_k, pad_k,
-            method=Rel2Layout.decode)
+            method=type(model).decode)
         logp = jax.nn.log_softmax(lc[:, t].reshape(B, K, -1), -1)
         # finished beams: only "EOS again" allowed, at zero cost
         frozen = jnp.full_like(logp, -1e9).at[..., EOS].set(0.0)
@@ -322,3 +322,46 @@ def greedy_decode_reg(model: Rel2RegLayout, params, tokens, obj_ids, segments,
             jnp.zeros((B, T + 1, 4), jnp.float32))
     _, (cls_o, box_o) = jax.lax.scan(body, init, jnp.arange(T))
     return jnp.moveaxis(cls_o, 0, 1), jnp.moveaxis(box_o, 0, 1)
+
+
+class Text2Layout(nn.Module):
+    """Caption → discrete layout (reference `Model.py:817-935`): an HF BERT
+    encoder (with on-device tokenization, a host/device violation there)
+    feeding the same discrete (cls, pos, shape) AR decoder.  Here the
+    encoder is the framework's pre-LN text transformer
+    (`models/encoders.TransformerEmbedder` semantics) over host-tokenized
+    ids; `greedy_decode` / `beam_decode` work unchanged via the shared
+    encode/decode interface."""
+
+    cfg: LegacyConfig
+    max_seq_len: int = 64      # `Model.py:845` max_length=64
+
+    def setup(self):
+        c = self.cfg
+        from ..encoders import TransformerEmbedder
+
+        self.text_encoder = TransformerEmbedder(
+            vocab_size=c.vocab_size, max_seq_len=self.max_seq_len,
+            n_embed=c.hidden, n_layer=c.layers, heads=c.heads,
+            name="text_encoder")
+        self.cls_embed = nn.Embed(c.cls_size, c.hidden, name="cls_embed")
+        self.pos_embed = nn.Embed(c.pos_size, c.hidden, name="pos_embed")
+        self.shape_embed = nn.Embed(c.shape_size, c.hidden, name="shape_embed")
+        self.decoder = _Decoder(c)
+        self.cls_head = nn.Dense(c.cls_size, name="cls_head")
+        self.pos_head = nn.Dense(c.pos_size, name="pos_head")
+        self.shape_head = nn.Dense(c.shape_size, name="shape_head")
+
+    def encode(self, tokens, obj_ids, segments, token_types, pad_mask):
+        # extra operands accepted (ignored) so greedy/beam decode reuse works
+        return self.text_encoder(tokens)
+
+    def decode(self, cls_tok, pos_tok, shape_tok, memory, src_pad_mask):
+        trg = (self.cls_embed(cls_tok) + self.pos_embed(pos_tok)
+               + self.shape_embed(shape_tok))
+        h = self.decoder(trg, memory, src_pad_mask)
+        return self.cls_head(h), self.pos_head(h), self.shape_head(h)
+
+    def __call__(self, tokens, pad_mask, cls_tok, pos_tok, shape_tok):
+        memory = self.text_encoder(tokens)
+        return self.decode(cls_tok, pos_tok, shape_tok, memory, pad_mask)

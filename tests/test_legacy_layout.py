@@ -119,3 +119,28 @@ def test_rel2reglayout_and_greedy_reg():
     assert cls_o.shape == (B, CFG.max_out_len)
     assert box_o.shape == (B, CFG.max_out_len, 4)
     assert float(box_o.min()) >= 0.0 and float(box_o.max()) <= 1.0
+
+
+def test_text2layout_forward_and_greedy():
+    from diffusion_spacetime_attn_tpu.models.layout.legacy import (
+        Text2Layout, greedy_decode,
+    )
+
+    rng = np.random.RandomState(2)
+    model = Text2Layout(CFG, max_seq_len=L)
+    tokens = jnp.asarray(rng.randint(4, 30, (B, L)), jnp.int32)
+    pad = jnp.asarray(rng.rand(B, L) > 0.2, jnp.float32)
+    T = 5
+    trg = tuple(
+        jnp.asarray(rng.randint(0, n, (B, T)), jnp.int32)
+        for n in (CFG.cls_size, CFG.pos_size, CFG.shape_size)
+    )
+    params = model.init(jax.random.PRNGKey(0), tokens, pad, *trg)["params"]
+    lc, lp, ls = model.apply({"params": params}, tokens, pad, *trg)
+    assert lc.shape == (B, T, CFG.cls_size)
+    # greedy reuse through the shared encode/decode surface
+    zeros = jnp.zeros_like(tokens)
+    cls_o, pos_o, shp_o, valid = greedy_decode(
+        model, params, tokens, zeros, zeros, zeros, pad)
+    assert cls_o.shape == (B, CFG.max_out_len)
+    assert bool(jnp.all(cls_o >= 0))
