@@ -94,7 +94,7 @@ class Retriever:
         emb = np.asarray(d["embedding"], np.float32)
         emb = emb / (np.linalg.norm(emb, axis=-1, keepdims=True) + 1e-8)
         return cls(
-            embedding=jnp.asarray(emb),
+            embedding=jax.device_put(emb),
             img_id=np.asarray(d["img_id"]) if "img_id" in d else np.arange(len(emb)),
             patch_coords=(np.asarray(d["patch_coords"]) if "patch_coords" in d
                           else np.zeros((len(emb), 4), np.float32)),
@@ -149,7 +149,7 @@ def build_database_from_images(
     H, W = images.shape[1:3]
     coords = np.tile(np.array([0, 0, W, H], np.float32), (M, 1))
     return Retriever(
-        embedding=jnp.asarray(emb),
+        embedding=jax.device_put(emb),
         img_id=img_ids if img_ids is not None else np.arange(M),
         patch_coords=coords,
     )
