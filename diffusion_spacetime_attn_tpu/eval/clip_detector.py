@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.clip import CLIP, cosine_similarity
+from ..models.clip import CLIP
 from ..pipeline.frontend import COCO_CATEGORIES
 from ..pipeline.losses import bilinear_resize
 from .metrics import Detection

@@ -22,7 +22,6 @@ which matches `attention.py:284-294` exactly (there stated post-projection).
 """
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import jax

@@ -24,7 +24,6 @@ lanes internally.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

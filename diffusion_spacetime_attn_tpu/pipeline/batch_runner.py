@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import SpaceTimeConfig
 from ..parallel.mesh import shard_batch
 from .runners import PromptRunner, save_image
 from .spacetime import (

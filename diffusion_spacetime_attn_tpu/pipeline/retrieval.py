@@ -51,7 +51,7 @@ def sharded_search(db: jnp.ndarray, queries: jnp.ndarray, k: int, mesh
     mesh's 'data' axis (queries replicated).  Each device emits its local
     top-k with *global* indices; the final top-k over the gathered
     candidates is exact because every true winner is its shard's winner."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
     ndev = mesh.shape["data"]
     M = db.shape[0]

@@ -12,7 +12,6 @@ from typing import Optional
 import jax
 
 from ..config import LayoutConfig, PipelineConfig
-from ..models.layout.model import LayoutPredictor
 from ..pipeline.pipeline import StableDiffusion
 from . import convert
 from .testing import randomize_params

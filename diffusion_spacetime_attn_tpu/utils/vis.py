@@ -2,7 +2,7 @@
 `utils/vis.py` — draw predicted layouts for inspection)."""
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 
