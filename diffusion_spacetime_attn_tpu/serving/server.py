@@ -66,14 +66,22 @@ class TextToImageEngine:
         S = self.sd.schedule.num_steps
         spatial = self.prepare_host is not None
 
-        def generate(token_ids, uncond_ids, seeds, local_ids, centers, active):
+        import dataclasses as _dc
+
+        def generate(params, token_ids, uncond_ids, seeds, local_ids, centers,
+                     active):
+            # params as explicit operands — closing over them would bake GBs
+            # of constants into the executable (tunnel remote-compile rejects
+            # large request bodies, and compile time explodes)
+            sd = _dc.replace(self.sd, unet_params=params[0],
+                             vae_params=params[1], text_params=params[2])
             B = token_ids.shape[0]
             if spatial:
                 # one encoder call for captions + all local contexts
                 all_ids = jnp.concatenate(
                     [token_ids, local_ids.reshape(B * N, -1)]
                 )
-                emb = self.sd.encode_text(all_ids)
+                emb = sd.encode_text(all_ids)
                 cond, locals_ = emb[:B], emb[B:].reshape(B, N, *emb.shape[1:])
                 coef = active * (
                     (self.init_coef
@@ -87,19 +95,19 @@ class TextToImageEngine:
                 )
                 coef_schedule = jnp.broadcast_to(coef[..., None], (B, N, S))
             else:
-                cond = self.sd.encode_text(token_ids)
+                cond = sd.encode_text(token_ids)
                 control, coef_schedule = None, None
-            uncond = self.sd.encode_text(uncond_ids)
-            gs = (self.sd.cfg.spacetime.guidance_scale
+            uncond = sd.encode_text(uncond_ids)
+            gs = (sd.cfg.spacetime.guidance_scale
                   if self.guidance_scale is None else self.guidance_scale)
-            eps_fn = self.sd.make_eps_fn(cond, uncond, gs, control, coef_schedule)
+            eps_fn = sd.make_eps_fn(cond, uncond, gs, control, coef_schedule)
             x_T = jax.vmap(
                 lambda s: jax.random.normal(
                     jax.random.PRNGKey(s), (latent, latent, in_ch), jnp.float32
                 )
             )(seeds)
-            z = self.sd.sample_from(eps_fn, x_T, sampler=self.sampler)
-            return self.sd.decode_latents(z)
+            z = sd.sample_from(eps_fn, x_T, sampler=self.sampler)
+            return sd.decode_latents(z)
 
         self._generate = jax.jit(generate)
         self._uncond_ids = np.asarray(self.tokenize(""), np.int32)
@@ -136,7 +144,9 @@ class TextToImageEngine:
             local_ids = np.tile(self._uncond_ids, (B, N, 1))
             centers = np.zeros((B, N, 2), np.float32)
             active = np.zeros((B, N), np.float32)
+        params = (self.sd.unet_params, self.sd.vae_params, self.sd.text_params)
         return self._generate(
+            params,
             jnp.asarray(token_ids, jnp.int32), jnp.asarray(uncond),
             jnp.asarray(seeds, jnp.uint32), jnp.asarray(local_ids, jnp.int32),
             jnp.asarray(centers, jnp.float32), jnp.asarray(active, jnp.float32),
