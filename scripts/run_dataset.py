@@ -41,7 +41,7 @@ def main():
                          "(XLA+bf16 scores wins forward-only)")
     ap.add_argument("--no-flash", dest="flash", action="store_false")
     ap.add_argument("--scores-dtype", default="bfloat16",
-                    help="self-attention score buffer dtype (bfloat16: +10% vanilla throughput, enables batch 8)")
+                    help="self-attention score buffer dtype (bfloat16: +10%% vanilla throughput, enables batch 8)")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument(
         "--batch-size", type=int, default=1,
