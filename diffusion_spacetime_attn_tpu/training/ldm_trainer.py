@@ -217,6 +217,8 @@ class LDMTrainer:
     eps_model: Any                      # (params, x, t, context) -> out
     mesh: Optional[Any] = None          # jax.sharding.Mesh or None
     ckpt_dir: Optional[str] = None
+    context_rank: int = 3               # [B, L, D] text context; 2 for class
+                                        # ids, 4 for superres LR images
 
     def __post_init__(self):
         self.lr = scaled_lr(
@@ -232,7 +234,7 @@ class LDMTrainer:
             self._step = jax.jit(
                 step,
                 in_shardings=(rep, data_sharding(self.mesh, 4),
-                              data_sharding(self.mesh, 3), rep),
+                              data_sharding(self.mesh, self.context_rank), rep),
                 out_shardings=(rep, rep),
             )
         else:

@@ -40,6 +40,15 @@ def main():
                     help="warm start from sd-v1-4 (CompVis ckpt or HF dir)")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny UNet (CI/CPU smoke)")
+    ap.add_argument("--conditioning", default="text",
+                    choices=["text", "class", "superres", "none"],
+                    help="text: CLIP cross-attn (SD-style, default); "
+                         "class: trained ClassEmbedder context (cin256-style, "
+                         "cond_stage_trainable); superres: LR image concat on "
+                         "the input channels (ImageNetSR-style, BSRGAN-light "
+                         "degradation in synthetic mode); none: unconditional")
+    ap.add_argument("--num-classes", type=int, default=1000)
+    ap.add_argument("--sr-factor", type=int, default=4)
     args = ap.parse_args()
 
     import jax
@@ -59,14 +68,24 @@ def main():
     enable_compilation_cache()
     logger = get_logger("train_ldm")
 
+    # superres concatenates the LR conditioning image on the input channels
+    # (the reference's conditioning_key='concat' ImageNetSR configs)
+    in_ch = 4 + (3 if args.conditioning == "superres" else 0)
     if args.tiny:
         unet_cfg = UNetConfig(model_channels=32, channel_mult=(1, 2),
                               num_res_blocks=1, attention_resolutions=(1, 2),
-                              num_heads=2, context_dim=16, dtype=args.dtype)
+                              num_heads=2, context_dim=16, dtype=args.dtype,
+                              in_channels=in_ch)
         latent_hw, ctx_shape = 16, (7, 16)
     else:
-        unet_cfg = UNetConfig(dtype=args.dtype)
+        unet_cfg = UNetConfig(dtype=args.dtype, in_channels=in_ch)
         latent_hw, ctx_shape = 64, (77, 768)
+    if args.conditioning == "class":
+        ctx_shape = (1,)                       # class id per sample
+    elif args.conditioning == "superres":
+        ctx_shape = (latent_hw, latent_hw, 3)  # LR image at latent resolution
+    elif args.conditioning == "none":
+        ctx_shape = (1,)                       # ignored placeholder
 
     sched_cfg = ScheduleConfig()
     schedule = make_schedule(sched_cfg, 50)
@@ -77,20 +96,48 @@ def main():
 
     unet = UNet(unet_cfg, radius=0.2)
 
-    def eps_model(params, x, t, context):
-        return unet.apply({"params": params}, x, t, context)
+    if args.conditioning == "text":
+        def eps_model(params, x, t, context):
+            return unet.apply({"params": params}, x, t, context)
+    elif args.conditioning == "class":
+        # class embedder trained jointly with the UNet (the reference's
+        # cond_stage_trainable ClassEmbedder, `encoders/modules.py:21-33`)
+        from diffusion_spacetime_attn_tpu.models.encoders import ClassEmbedder
+
+        class_embed = ClassEmbedder(n_classes=args.num_classes,
+                                    embed_dim=unet_cfg.context_dim)
+
+        def eps_model(params, x, t, context):
+            ctx = class_embed.apply({"params": params["cond"]},
+                                    context[:, 0].astype(jnp.int32))
+            return unet.apply({"params": params["unet"]}, x, t, ctx)
+    elif args.conditioning == "superres":
+        def eps_model(params, x, t, context):
+            # concat conditioning (`DiffusionWrapper` conditioning_key
+            # 'concat'): LR image stacked on the noisy-latent channels
+            return unet.apply(
+                {"params": params},
+                jnp.concatenate([x, context.astype(x.dtype)], axis=-1), t, None)
+    else:  # none
+        def eps_model(params, x, t, context):
+            return unet.apply({"params": params}, x, t, None)
 
     ndev = len(jax.devices())
     mesh = make_mesh(data=ndev) if ndev > 1 else None
+    ctx_rank = {"text": 3, "class": 2, "superres": 4, "none": 2}[args.conditioning]
     trainer = LDMTrainer(train_cfg, sched_cfg, schedule, eps_model,
-                         mesh=mesh, ckpt_dir=args.ckpt_dir)
+                         mesh=mesh, ckpt_dir=args.ckpt_dir,
+                         context_rank=ctx_rank)
     logger.info("devices=%d lr=%.2e (scaled)", ndev, trainer.lr)
 
     # ---- params ----
     B = args.batch_size * ndev
-    x_spec = jnp.zeros((B, latent_hw, latent_hw, 4))
+    x_spec = jnp.zeros((B, latent_hw, latent_hw, in_ch))
     t_spec = jnp.zeros((B,), jnp.int32)
-    c_spec = jnp.zeros((B,) + ctx_shape)
+    c_spec = (None if args.conditioning in ("superres", "none")
+              else jnp.zeros((B,) + ctx_shape))
+    if args.conditioning == "class":
+        c_spec = jnp.zeros((B, 1, unet_cfg.context_dim))
     if args.unet_ckpt:
         from diffusion_spacetime_attn_tpu.utils import convert
 
@@ -103,6 +150,12 @@ def main():
         )
     else:
         params = unet.init(jax.random.PRNGKey(0), x_spec, t_spec, c_spec)["params"]
+    if args.conditioning == "class":
+        params = {
+            "unet": params,
+            "cond": class_embed.init(
+                jax.random.PRNGKey(1), jnp.zeros((1,), jnp.int32))["params"],
+        }
 
     state = trainer.init(params)
     start = 0
@@ -113,11 +166,48 @@ def main():
 
     # ---- data ----
     if args.synthetic or not args.data_dir:
-        def next_batch(i):
-            r = np.random.RandomState(i)
-            return (jnp.asarray(r.randn(B, latent_hw, latent_hw, 4), jnp.float32),
-                    jnp.asarray(r.randn(B, *ctx_shape), jnp.float32))
+        if args.conditioning == "superres":
+            from diffusion_spacetime_attn_tpu.training.degradation import (
+                degradation_bsrgan_light,
+            )
+
+            def next_batch(i):
+                r = np.random.RandomState(i)
+                # synthetic HQ image → real BSRGAN-light LR conditioning
+                hq = r.rand(B, latent_hw * args.sr_factor,
+                            latent_hw * args.sr_factor, 3).astype(np.float32)
+                lrs = np.stack([
+                    degradation_bsrgan_light(hq[b], sf=args.sr_factor,
+                                             seed=i * B + b)[0]
+                    for b in range(B)
+                ])
+                return (jnp.asarray(r.randn(B, latent_hw, latent_hw, 4),
+                                    jnp.float32),
+                        jnp.asarray(lrs * 2.0 - 1.0, jnp.float32))
+        elif args.conditioning == "class":
+            def next_batch(i):
+                r = np.random.RandomState(i)
+                return (jnp.asarray(r.randn(B, latent_hw, latent_hw, 4),
+                                    jnp.float32),
+                        jnp.asarray(
+                            r.randint(0, args.num_classes, (B, 1)), jnp.float32))
+        elif args.conditioning == "none":
+            def next_batch(i):
+                r = np.random.RandomState(i)
+                return (jnp.asarray(r.randn(B, latent_hw, latent_hw, 4),
+                                    jnp.float32),
+                        jnp.zeros((B, 1), jnp.float32))
+        else:
+            def next_batch(i):
+                r = np.random.RandomState(i)
+                return (jnp.asarray(r.randn(B, latent_hw, latent_hw, 4), jnp.float32),
+                        jnp.asarray(r.randn(B, *ctx_shape), jnp.float32))
     else:
+        if args.conditioning != "text":
+            raise SystemExit(
+                f"--data-dir loading implements text conditioning; use "
+                f"--synthetic with --conditioning {args.conditioning} or add "
+                f"a loader for that mode")
         from PIL import Image
 
         from diffusion_spacetime_attn_tpu.pipeline.pipeline import StableDiffusion
@@ -161,7 +251,7 @@ def main():
             m = {k: float(v) for k, v in metrics.items()}
             logger.info("step %d %s", i + 1, m)
             jlog.log("ldm_train_step", step=i + 1, **m)
-        if (i + 1) % args.ckpt_every == 0 or i + 1 == args.steps:
+        if (args.ckpt_every and (i + 1) % args.ckpt_every == 0) or i + 1 == args.steps:
             trainer.save(state, i + 1)
             logger.info("checkpoint @ %d", i + 1)
 

@@ -264,3 +264,39 @@ def test_ldm_trainer_with_lambda_linear_schedule_steps():
     # after warmup progress the multiplier (and typical update size) grew
     assert d1 < 1e-6  # first update scaled by ~f_start=1e-6
     assert abs(float(s1.params["w"]) - 1.0) > d1
+
+
+def test_ldm_trainer_class_conditioning_under_mesh():
+    """Class-conditional LDM (ClassEmbedder context trained jointly, rank-2
+    context) through the data-parallel mesh path (context_rank plumbed to
+    the sharding specs)."""
+    from diffusion_spacetime_attn_tpu.models.encoders import ClassEmbedder
+    from diffusion_spacetime_attn_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=8)
+    embed = ClassEmbedder(n_classes=10, embed_dim=8)
+
+    def eps_model(params, x, t, context):
+        ctx = embed.apply({"params": params["cond"]},
+                          context[:, 0].astype(jnp.int32))
+        return x * params["w"] + jnp.mean(ctx)
+
+    cfg = LDMTrainConfig(batch_size=1, base_lr=1e-3, scale_lr=False,
+                         use_ema=False)
+    sched_cfg = ScheduleConfig(num_train_timesteps=8)
+    trainer = LDMTrainer(cfg, sched_cfg, make_schedule(sched_cfg, 4),
+                         eps_model, mesh=mesh, context_rank=2)
+    params = {
+        "w": jnp.ones(()),
+        "cond": embed.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1,), jnp.int32))["params"],
+    }
+    state = trainer.init(params)
+    x0 = jnp.ones((8, 4, 4, 2))
+    ctx = jnp.asarray(np.arange(8, dtype=np.float32)[:, None] % 10)
+    state, metrics = trainer.train_step(state, x0, ctx, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    # the class embedding received gradient (trained jointly)
+    delta = jnp.abs(state.params["cond"]["embedding"]["embedding"]
+                    - params["cond"]["embedding"]["embedding"]).max()
+    assert float(delta) > 0.0
