@@ -19,6 +19,7 @@ from typing import Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import CLIPConfig, CLIPTextConfig, CLIPVisionConfig
 from .layers import norm_f32
@@ -181,8 +182,10 @@ class CLIP(nn.Module):
 
 
 # CLIP image preprocessing constants (OpenAI)
-CLIP_MEAN = jnp.array([0.48145466, 0.4578275, 0.40821073], dtype=jnp.float32)
-CLIP_STD = jnp.array([0.26862954, 0.26130258, 0.27577711], dtype=jnp.float32)
+# numpy on purpose: a module-level jnp.array initializes the default backend
+# at import time (grabbing the TPU before scripts can force a platform)
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], dtype=np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], dtype=np.float32)
 
 
 def clip_normalize(images: jnp.ndarray) -> jnp.ndarray:

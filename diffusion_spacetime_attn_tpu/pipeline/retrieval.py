@@ -127,23 +127,32 @@ class Retriever:
 
 def build_database_from_images(
     images: np.ndarray,                # [M, H, W, 3] in [0, 1]
-    clip_vision_apply,                 # pixels [B,H,W,3]→ joint embeds [B, D]
+    clip_vision_apply,                 # (params, pixels [B,H,W,3]) → [B, D];
+                                       # or pixels → [B, D] with params=None
     batch: int = 64,
     img_ids: Optional[np.ndarray] = None,
+    params=None,
 ) -> Retriever:
     """Embed an image collection into a retrieval database on device.
 
     The reference's databases ship as precomputed CLIP "patch embeddings"
     (`train_searcher.py:28-58`); this is the equivalent producer, using the
     framework's own CLIP vision tower (whole image = one patch, coords
-    (0,0,H,W) like full-frame entries).
+    (0,0,H,W) like full-frame entries).  Pass the tower params via `params`
+    so they are jit *arguments* — a closure would bake hundreds of MB of
+    constants into the executable (tunnel remote-compile rejects it).
     """
     M = images.shape[0]
     out = []
-    fn = jax.jit(clip_vision_apply)
+    if params is None:
+        fn = jax.jit(clip_vision_apply)
+        call = fn
+    else:
+        fn = jax.jit(clip_vision_apply)
+        call = lambda chunk: fn(params, chunk)
     for s in range(0, M, batch):
         chunk = jnp.asarray(images[s:s + batch], jnp.float32)
-        out.append(np.asarray(fn(chunk)))
+        out.append(np.asarray(call(chunk)))
     emb = np.concatenate(out, axis=0)
     emb = emb / (np.linalg.norm(emb, axis=-1, keepdims=True) + 1e-8)
     H, W = images.shape[1:3]

@@ -23,10 +23,13 @@ from typing import Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # taming lpips.py ScalingLayer constants
-_SHIFT = jnp.array([-0.030, -0.088, -0.188], jnp.float32)
-_SCALE = jnp.array([0.458, 0.448, 0.450], jnp.float32)
+# numpy on purpose — module-level jnp.array would initialize the backend
+# at import time (see models/clip.py note)
+_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
 # VGG16 conv plan: (out_channels, pool_before) per conv; taps after the
 # last ReLU of each block (relu1_2, relu2_2, relu3_3, relu4_3, relu5_3)

@@ -94,6 +94,12 @@ def main():
     if args.use_neighbors:
         assert args.database, "--use-neighbors needs --database"
         retriever = Retriever.from_npz(args.database)
+        if args.tiny:
+            # smoke mode: crop the database to the tiny context dim
+            from diffusion_spacetime_attn_tpu.pipeline.retrieval import normalize
+
+            retriever.embedding = normalize(
+                retriever.embedding[:, : rdm.unet.cfg.context_dim])
         D = retriever.embedding.shape[1]
         logger.info("database: %d × %d", retriever.embedding.shape[0], D)
 

@@ -49,6 +49,7 @@ def main():
 
     enable_compilation_cache()
     logger = get_logger("train_searcher")
+    logger.info("device: %s", jax.devices()[0])
 
     if args.embeddings:
         r = Retriever.from_npz(args.embeddings)
@@ -97,11 +98,12 @@ def main():
             )
             logger.info("no --clip-ckpt: random vision tower (smoke mode)")
 
-        def embed(pixels):
-            return clip.apply({"params": params}, clip_normalize(pixels),
+        def embed(p, pixels):
+            return clip.apply({"params": p}, clip_normalize(pixels),
                               method=CLIP.encode_image)
 
-        r = build_database_from_images(imgs, embed, batch=args.batch, img_ids=ids)
+        r = build_database_from_images(imgs, embed, batch=args.batch,
+                                       img_ids=ids, params=params)
 
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     r.save_npz(args.out)
