@@ -76,16 +76,31 @@ def kl_divergence(mean, logvar):
 
 
 class VAETrainer:
-    """Functional core + convenience wrapper (jit, init, checkpoint-free)."""
+    """Functional core + convenience wrapper (jit, init, checkpoint-free).
 
-    def __init__(self, vae: AutoencoderKL, cfg: VAETrainConfig):
+    With `mesh` (a `Mesh(('data', ...))`), the image batch shards over the
+    data axis and the state replicates — the gradient all-reduce is a GSPMD
+    psum over ICI, same shape as the LDM trainer.
+    """
+
+    def __init__(self, vae: AutoencoderKL, cfg: VAETrainConfig, mesh=None):
         self.vae = vae
         self.cfg = cfg
         self.disc = NLayerDiscriminator(ndf=cfg.disc_ndf, n_layers=cfg.disc_layers)
         self.lpips = LPIPS()
         self._opt_ae = optax.adam(cfg.base_lr, b1=0.5, b2=0.9)
         self._opt_disc = optax.adam(cfg.base_lr, b1=0.5, b2=0.9)
-        self._step = jax.jit(self._make_step())
+        if mesh is not None:
+            from ..parallel.mesh import data_sharding, replicated
+
+            rep = replicated(mesh)
+            self._step = jax.jit(
+                self._make_step(),
+                in_shardings=(rep, data_sharding(mesh, 4), rep),
+                out_shardings=(rep, rep),
+            )
+        else:
+            self._step = jax.jit(self._make_step())
 
     def init(self, rng: jax.Array, image_hw: int = 64,
              lpips_params: Any = None) -> VAETrainState:

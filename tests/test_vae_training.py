@@ -134,3 +134,22 @@ def test_lpips_converter_structure_and_apply():
     assert d.shape == (1, 1, 1, 1) and np.isfinite(float(d[0, 0, 0, 0]))
     np.testing.assert_allclose(
         float(lp.apply({"params": params}, x, x)[0, 0, 0, 0]), 0.0, atol=1e-6)
+
+
+def test_vae_trainer_data_parallel_mesh():
+    """The autoencoder train step under a Mesh(('data',)): batch sharded,
+    state replicated, finite losses (GSPMD inserts the grad all-reduce)."""
+    from diffusion_spacetime_attn_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=8)
+    vae = AutoencoderKL(VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                                  z_channels=2, embed_dim=2))
+    cfg = VAETrainConfig(base_lr=1e-3, disc_start=0, disc_ndf=8,
+                         disc_layers=2, perceptual_weight=0.0)
+    tr = VAETrainer(vae, cfg, mesh=mesh)
+    state = tr.init(jax.random.PRNGKey(0), image_hw=16)
+    x = jnp.asarray(np.random.RandomState(0).rand(8, 16, 16, 3) * 2 - 1,
+                    jnp.float32)
+    state, m = tr.train_step(state, x, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["total_loss"]))
+    assert np.isfinite(float(m["disc_loss"]))
