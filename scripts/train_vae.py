@@ -64,10 +64,17 @@ def main():
                          disc_layers=2 if args.tiny else 3,
                          perceptual_weight=0.0 if (args.tiny and not args.lpips_ckpt)
                          else 1.0)
-    trainer = VAETrainer(vae, cfg)
+    ndev = len(jax.devices())
+    if ndev > 1:
+        from diffusion_spacetime_attn_tpu.parallel.mesh import make_mesh
+
+        trainer = VAETrainer(vae, cfg, mesh=make_mesh(data=ndev))
+        logger.info("data-parallel over %d devices", ndev)
+    else:
+        trainer = VAETrainer(vae, cfg)
     state = trainer.init(jax.random.PRNGKey(0), image_hw=hw)
 
-    B = args.batch_size
+    B = args.batch_size * ndev  # per-device batch semantics (like train_ldm)
     if args.synthetic or not args.data_dir:
         def next_batch(i):
             r = np.random.RandomState(i % 37)
