@@ -59,10 +59,12 @@ def flash_ok(Lq: int, Lk: int, dh: int) -> bool:
     return Lq == Lk and Lq >= 1024 and dh <= 128 and Lq % 512 == 0
 
 
-def _splash_kernel(num_heads: int, Lq: int, Lk: int):
+def _splash_kernel(num_heads: int, Lq: int, Lk: int, interpret: bool = False):
     """Splash-attention kernel instance.  Built per call site: the instance
     is a pytree holding mask-layout arrays that belong to the enclosing trace,
-    so it must not be cached across jit traces (tracer leak otherwise)."""
+    so it must not be cached across jit traces (tracer leak otherwise).
+    interpret=True runs the Pallas interpreter (CPU tests of the TPU-gated
+    path)."""
     from jax.experimental.pallas.ops.tpu.splash_attention import (
         splash_attention_kernel as sk,
         splash_attention_mask as sm,
@@ -81,10 +83,11 @@ def _splash_kernel(num_heads: int, Lq: int, Lk: int):
         block_kv_dkv_compute=min(512, Lk),
         block_q_dq=min(512, Lq), block_kv_dq=bkv,
     )
-    return sk.make_splash_mha_single_device(mask, block_sizes=bs)
+    return sk.make_splash_mha_single_device(mask, block_sizes=bs,
+                                            interpret=interpret)
 
 
-def flash_attention(q, k, v, num_heads: int):
+def flash_attention(q, k, v, num_heads: int, interpret: bool = False):
     """Pallas TPU splash attention on [B, L, H*Dh] tensors.
 
     Never materializes the [B,H,Lq,Lk] score tensor in HBM (blockwise online
@@ -95,7 +98,7 @@ def flash_attention(q, k, v, num_heads: int):
     """
     B, Lq, inner = q.shape
     dh = inner // num_heads
-    kern = _splash_kernel(num_heads, Lq, k.shape[-2])
+    kern = _splash_kernel(num_heads, Lq, k.shape[-2], interpret=interpret)
     qh = jnp.swapaxes(q.reshape(B, Lq, num_heads, dh), 1, 2) * (dh ** -0.5)
     kh = jnp.swapaxes(k.reshape(B, -1, num_heads, dh), 1, 2)
     vh = jnp.swapaxes(v.reshape(B, -1, num_heads, dh), 1, 2)

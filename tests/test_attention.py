@@ -198,3 +198,30 @@ def test_bf16_scores_close_to_f32():
     # and it composes with q_chunk
     both = attention(q, k, v, 4, q_chunk=16, scores_dtype=jnp.bfloat16)
     np.testing.assert_allclose(np.asarray(narrow), np.asarray(both), atol=1e-6)
+
+
+def test_splash_flash_attention_interpret_matches_xla():
+    """The TPU-gated splash path, run under the Pallas interpreter on CPU:
+    forward matches the XLA softmax-attention oracle, and dq/dk/dv flow
+    (the spacetime chain differentiates through this kernel)."""
+    from diffusion_spacetime_attn_tpu.ops.attention import (
+        attention,
+        flash_attention,
+    )
+
+    B, H, L, dh = 1, 2, 1024, 32
+    r = np.random.RandomState(0)
+    q = jnp.asarray(r.randn(B, L, H * dh), jnp.float32)
+    k = jnp.asarray(r.randn(B, L, H * dh), jnp.float32)
+    v = jnp.asarray(r.randn(B, L, H * dh), jnp.float32)
+
+    want = attention(q, k, v, H)
+    got = flash_attention(q, k, v, H, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-3, rtol=2e-3)
+
+    # gradients flow through the custom VJP
+    g = jax.grad(lambda q_: jnp.sum(flash_attention(q_, k, v, H,
+                                                    interpret=True) ** 2))(q)
+    assert g.shape == q.shape and bool(jnp.all(jnp.isfinite(g)))
+    assert float(jnp.abs(g).max()) > 0.0
