@@ -144,3 +144,71 @@ def test_text2layout_forward_and_greedy():
         model, params, tokens, zeros, zeros, zeros, pad)
     assert cls_o.shape == (B, CFG.max_out_len)
     assert bool(jnp.all(cls_o >= 0))
+
+
+def test_legacy_masked_pretraining_data(tmp_path):
+    """VGDataset.random_word semantics (`loader/VGDataset.py:63-103`):
+    masking statistics, ignore sentinels, segment/token_type construction;
+    then one masked-LM-style loss step through the legacy RelEncoder heads."""
+    import pickle
+    import random as pyrandom
+
+    from diffusion_spacetime_attn_tpu.models.layout.legacy import RelEncoder
+    from diffusion_spacetime_attn_tpu.training.legacy_data import (
+        MASK, SEP, legacy_pretrain_batches, load_legacy_rel_pickle,
+        mask_relation_sentence,
+    )
+
+    r = np.random.RandomState(0)
+    n, Ls = 8, 13
+    # sentences: CLS trio SEP trio SEP ... with pad tail
+    sents, ids, boxes = [], [], []
+    for _ in range(n):
+        s = [1] + [int(r.randint(4, 20)) for _ in range(3)] + [2] \
+            + [int(r.randint(4, 20)) for _ in range(3)] + [2]
+        s += [0] * (Ls - len(s))
+        sents.append(np.array(s))
+        ids.append(r.randint(0, 5, Ls))
+        boxes.append(r.rand(Ls, 4).astype(np.float32))
+    p = tmp_path / "rel.pkl"
+    pickle.dump({"rel": sents, "id": ids, "rel_box": boxes}, open(p, "wb"))
+    s2, i2, b2 = load_legacy_rel_pickle(str(p))
+    assert len(s2) == n
+
+    tok, oid, lab, seg, tt, blab = mask_relation_sentence(
+        sents[0], ids[0], boxes[0], pyrandom.Random(0))
+    # pad positions: zero everywhere, sentinel boxes
+    pad = sents[0] == 0
+    assert (lab[pad] == 0).all() and (seg[pad] == 0).all()
+    np.testing.assert_allclose(blab[pad], 2.0)
+    # masked positions carry the original token as label
+    masked = tok == MASK
+    assert (lab[masked] == sents[0][masked]).all()
+    # unmasked-unlabeled positions keep the original token
+    keep = (lab == 0)
+    np.testing.assert_array_equal(tok[keep], sents[0][keep])
+    # segment increments after each SEP
+    sep_pos = np.where(sents[0] == SEP)[0]
+    assert seg[sep_pos[0]] == 1 and seg[sep_pos[1]] == 2
+
+    # drive one masked-prediction loss through the legacy encoder heads
+    (btok, boid, blab_, bseg, btt, bbox) = next(
+        legacy_pretrain_batches(sents, ids, boxes, batch_size=4, seed=1))
+    enc = RelEncoder(CFG)
+    pad_mask = jnp.asarray(btok > 0, jnp.float32)
+    params = enc.init(jax.random.PRNGKey(0), jnp.asarray(btok),
+                      jnp.asarray(boid % CFG.obj_id_size),
+                      jnp.asarray(bseg % CFG.max_rel_pair),
+                      jnp.asarray(btt), pad_mask)["params"]
+    _, vocab_logits, _, _ = enc.apply(
+        {"params": params}, jnp.asarray(btok % CFG.vocab_size),
+        jnp.asarray(boid % CFG.obj_id_size),
+        jnp.asarray(bseg % CFG.max_rel_pair), jnp.asarray(btt), pad_mask)
+    mask_w = jnp.asarray(blab_ > 0, jnp.float32)
+    logp = jax.nn.log_softmax(vocab_logits, -1)
+    nll = -jnp.sum(
+        jnp.take_along_axis(
+            logp, jnp.asarray(blab_ % CFG.vocab_size)[..., None], -1
+        )[..., 0] * mask_w
+    ) / jnp.maximum(jnp.sum(mask_w), 1.0)
+    assert np.isfinite(float(nll)) and float(nll) > 0.0
