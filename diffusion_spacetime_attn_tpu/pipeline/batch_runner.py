@@ -57,6 +57,58 @@ class BatchedRunner:
             prompt="",
         )
 
+    def _prep_chunk(self, prompts, chunk):
+        """Host-only stage: layout NLP + tokenization for one chunk."""
+        r = self.runner
+        hosts, ok_idx = [], []
+        for idx in chunk:
+            h = r.prepare_host(prompts[idx])
+            if h is None:
+                print(f"[skip] no layout for prompt {idx}")
+                hosts.append(self._dummy_host())
+                ok_idx.append(None)
+            else:
+                hosts.append(h)
+                ok_idx.append(idx)
+        while len(hosts) < self.batch_size:  # tail padding
+            hosts.append(self._dummy_host())
+            ok_idx.append(None)
+        return hosts, ok_idx
+
+    def _launch(self, batch, train_ctx):
+        """Dispatch all device work for one batch WITHOUT blocking (jax
+        dispatch is async; the caller syncs with np.asarray later)."""
+        r = self.runner
+        cfg = r.cfg
+        if r.mode == "spacetime":
+            optimizer, train_step, params = train_ctx
+            coef = init_coef(batch.active, cfg.num_steps, cfg.init_coef)
+            opt_state = optimizer.init(coef)
+            images = None
+            for _ in range(cfg.epochs):
+                coef, opt_state, loss, images = train_step(
+                    params, coef, opt_state, batch
+                )
+            return images
+        from ..ops.attention import SpatialControl
+
+        control = None
+        coef = None
+        if r.mode == "spatial":
+            per = cfg.init_coef / jnp.clip(
+                jnp.sum(batch.active, -1, keepdims=True), 1, None
+            )
+            control = SpatialControl(
+                batch.local_contexts, batch.centers,
+                per * batch.active, batch.active,
+            )
+            coef = jnp.repeat(control.coef[..., None], cfg.num_steps, -1)
+        eps = r.sd.make_eps_fn(
+            batch.cond, batch.uncond, cfg.guidance_scale, control, coef
+        )
+        z = r.sd.sample_from(eps, batch.x_T, r.sampler, remat=False)
+        return r.sd.decode_latents(z)
+
     def run(
         self,
         prompts: List[str],
@@ -64,9 +116,15 @@ class BatchedRunner:
         seed: int = 1,
         log=None,
     ) -> int:
+        """Software-pipelined sweep: while the device runs batch i, the host
+        prepares batch i+1's layout/NLP (SURVEY §7: overlap the un-jittable
+        frontend with TPU compute across the prompt stream).  jax's async
+        dispatch provides the overlap — the only sync point is reading
+        batch i's images back."""
         r = self.runner
         cfg = r.cfg
         indices = indices if indices is not None else list(range(len(prompts)))
+        train_ctx = None
         if r.mode == "spacetime":
             optimizer, train_step = make_train_step(
                 r.sd, r.clip_loss, cfg, sampler=r.sampler
@@ -76,61 +134,24 @@ class BatchedRunner:
                 from ..parallel.mesh import replicate
 
                 params = replicate(self.mesh, params)
+            train_ctx = (optimizer, train_step, params)
 
         produced = 0
         B = self.batch_size
-        for s in range(0, len(indices), B):
-            chunk = indices[s : s + B]
+        chunks = [indices[s: s + B] for s in range(0, len(indices), B)]
+        if not chunks:
+            return 0
+
+        hosts, ok_idx = self._prep_chunk(prompts, chunks[0])
+        for ci, chunk in enumerate(chunks):
             t0 = time.perf_counter()
-            hosts, ok_idx = [], []
-            for idx in chunk:
-                h = r.prepare_host(prompts[idx])
-                if h is None:
-                    print(f"[skip] no layout for prompt {idx}")
-                    hosts.append(self._dummy_host())
-                    ok_idx.append(None)
-                else:
-                    hosts.append(h)
-                    ok_idx.append(idx)
-            while len(hosts) < B:  # tail padding
-                hosts.append(self._dummy_host())
-                ok_idx.append(None)
-            # single text-encoder call for the whole chunk
             batch = r.assemble_inputs(hosts, seed)
             if self.mesh is not None:
                 batch = shard_batch(self.mesh, batch)
-
-            if r.mode == "spacetime":
-                coef = init_coef(batch.active, cfg.num_steps, cfg.init_coef)
-                opt_state = optimizer.init(coef)
-                images = None
-                for _ in range(cfg.epochs):
-                    coef, opt_state, loss, images = train_step(
-                        params, coef, opt_state, batch
-                    )
-            else:
-                from ..ops.attention import SpatialControl
-
-                control = None
-                coef = None
-                if r.mode == "spatial":
-                    per = cfg.init_coef / jnp.clip(
-                        jnp.sum(batch.active, -1, keepdims=True), 1, None
-                    )
-                    control = SpatialControl(
-                        batch.local_contexts, batch.centers,
-                        per * batch.active, batch.active,
-                    )
-                    coef = jnp.repeat(
-                        control.coef[..., None], cfg.num_steps, -1
-                    )
-                eps = r.sd.make_eps_fn(
-                    batch.cond, batch.uncond, cfg.guidance_scale, control, coef
-                )
-                z = r.sd.sample_from(eps, batch.x_T, r.sampler, remat=False)
-                images = r.sd.decode_latents(z)
-
-            images = np.asarray(images)
+            images = self._launch(batch, train_ctx)     # async dispatch
+            if ci + 1 < len(chunks):                    # overlaps device work
+                next_hosts, next_ok = self._prep_chunk(prompts, chunks[ci + 1])
+            images = np.asarray(images)                 # sync point
             dt = time.perf_counter() - t0
             for img, idx in zip(images, ok_idx):
                 if idx is None:
@@ -147,4 +168,6 @@ class BatchedRunner:
                     "batch_done", first=chunk[0], n=len(chunk),
                     seconds=round(dt, 3),
                 )
+            if ci + 1 < len(chunks):
+                hosts, ok_idx = next_hosts, next_ok
         return produced
