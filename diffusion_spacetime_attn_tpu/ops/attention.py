@@ -74,14 +74,18 @@ def _splash_kernel(num_heads: int, Lq: int, Lk: int, interpret: bool = False):
     import os
 
     _bs = int(os.environ.get("DSTA_SPLASH_BLOCK", "1024"))
+    # 1024 measured best on the spacetime chain (1.397 vs 1.419 s/prompt-epoch
+    # at b4 DPM20 with 512)
+    _bw = int(os.environ.get("DSTA_SPLASH_BWD_BLOCK", "1024"))
     bq, bkv = min(_bs, Lq), min(_bs, Lk)
+    bwq = min(_bw, Lq)
     bs = sk.BlockSizes(
         block_q=bq, block_kv=bkv, block_kv_compute=min(512, Lk),
         # backward (dq/dkv) blocks — required for the custom VJP, which the
         # spacetime optimization differentiates through under remat
-        block_q_dkv=min(512, Lq), block_kv_dkv=bkv,
-        block_kv_dkv_compute=min(512, Lk),
-        block_q_dq=min(512, Lq), block_kv_dq=bkv,
+        block_q_dkv=bwq, block_kv_dkv=bkv,
+        block_kv_dkv_compute=min(_bw, Lk),
+        block_q_dq=bwq, block_kv_dq=bkv,
     )
     return sk.make_splash_mha_single_device(mask, block_sizes=bs,
                                             interpret=interpret)
