@@ -1,33 +1,183 @@
-"""Benchmark: 512² txt2img at 50-step PLMS on one TPU chip.
+"""Benchmark: 512² txt2img on one TPU chip.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "img/min/chip", "vs_baseline": N}
+Default invocation prints TWO JSON lines (one per metric):
+  1. vanilla 50-step PLMS txt2img (batch 8, bf16 scores) — raw generation
+  2. the FULL METHOD: spacetime optimization (3 Adam epochs, grads through
+     the whole chain — reference `plms.py:220-288`) at DPM-Solver++ 20
+     steps, batch 8, splash attention — optimized images/min/chip
+
+Each line: {"metric": ..., "value": N, "unit": "img/min/chip",
+            "vs_baseline": N, "baseline_assumed": 12.0, ...}
 
 Baseline note: the reference publishes no throughput numbers (SURVEY §6).
-`vs_baseline` is computed against an assumed GPU reference of 12 img/min
+`vs_baseline` is computed against an ASSUMED GPU reference of 12 img/min
 (≈5 s per 512² 50-step PLMS image on the reference's single-GPU setup —
-A100-class; `BASELINE.md` north star is ≥5× that per chip).
+A100-class; `BASELINE.md` north star is ≥5× that per chip).  The assumption
+is carried in the JSON as `baseline_assumed`.
 
-Modes:
-  vanilla   — stock SD txt2img (primary metric)
+Pass --mode to run a single configuration instead:
+  vanilla   — stock SD txt2img
   spatial   — with spatial control (4 objects, fixed weights)
-  spacetime — one full optimization epoch (forward+backward through chain)
+  spacetime — one optimization epoch (fwd+bwd through chain), reported as
+              optimized img/min at cfg epochs (default 3)
 """
 from __future__ import annotations
 
 import argparse
 import dataclasses
 import json
+import sys
 import time
 
 GPU_REFERENCE_IMG_PER_MIN = 12.0
+METHOD_EPOCHS = 3  # reference `plms.py:220`
+
+
+def bench_once(mode, sampler, steps, batch, dtype, flash, q_chunk,
+               scores_dtype, fused_control, params_dtype, iters):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffusion_spacetime_attn_tpu.config import (
+        PipelineConfig,
+        SpaceTimeConfig,
+        UNetConfig,
+        VAEConfig,
+    )
+    from diffusion_spacetime_attn_tpu.ops.attention import SpatialControl
+    from diffusion_spacetime_attn_tpu.ops.schedule import make_schedule
+    from diffusion_spacetime_attn_tpu.pipeline.pipeline import StableDiffusion
+    from diffusion_spacetime_attn_tpu.utils.testing import (
+        randomize_params_on_device,
+    )
+
+    cfg = PipelineConfig(
+        unet=UNetConfig(dtype=dtype, use_flash=flash,
+                        use_fused_control=fused_control,
+                        attn_q_chunk=q_chunk,
+                        attn_scores_dtype=scores_dtype),
+        vae=VAEConfig(dtype=dtype),
+        spacetime=SpaceTimeConfig(num_steps=steps),
+    )
+
+    sd = StableDiffusion.create(cfg, jax.random.PRNGKey(0), abstract=True)
+    sd = dataclasses.replace(
+        sd,
+        unet_params=randomize_params_on_device(sd.unet_params, jax.random.PRNGKey(1)),
+        vae_params=randomize_params_on_device(sd.vae_params, jax.random.PRNGKey(2)),
+    )
+    sd = dataclasses.replace(sd, schedule=make_schedule(cfg.schedule, steps))
+    if params_dtype != "float32":
+        pd = jnp.dtype(params_dtype)
+        cast = lambda t: jax.tree_util.tree_map(lambda x: x.astype(pd), t)
+        sd = dataclasses.replace(
+            sd, unet_params=cast(sd.unet_params), vae_params=cast(sd.vae_params)
+        )
+
+    B, N, L, D = batch, 4, 77, cfg.unet.context_dim
+    rng = np.random.RandomState(0)
+    cond = jnp.array(rng.randn(B, L, D), jnp.float32) * 0.02
+    uncond = jnp.array(rng.randn(B, L, D), jnp.float32) * 0.02
+
+    control = None
+    coef = None
+    if mode in ("spatial", "spacetime"):
+        control = SpatialControl(
+            local_contexts=jnp.array(rng.randn(B, N, L, D), jnp.float32) * 0.02,
+            centers=jnp.array(rng.rand(B, N, 2), jnp.float32),
+            coef=jnp.full((B, N), 1.25, jnp.float32),
+            active=jnp.ones((B, N), jnp.float32),
+        )
+        coef = jnp.full((B, N, steps), 1.25, jnp.float32)
+
+    import dataclasses as dc
+
+    # params go in as jit ARGUMENTS (closing over them bakes GBs of
+    # constants into the executable and bloats compile time) — but must be
+    # committed device arrays (numpy leaves would re-transfer every call)
+    params = (sd.unet_params, sd.vae_params)
+    jax.block_until_ready(params)
+
+    if mode == "spacetime":
+        def run(ps, rng_key, coef):
+            s = dc.replace(sd, unet_params=ps[0], vae_params=ps[1])
+            eps_fn = s.make_eps_fn(cond, uncond, 7.5, control, coef)
+            z = s.sample_from(eps_fn, jax.random.normal(
+                rng_key, (B, 64, 64, 4), jnp.float32), sampler, remat=True)
+            img = s.decode_latents(z)
+            return jnp.sum(img)
+
+        fn = jax.jit(jax.value_and_grad(run, argnums=2))
+        call = lambda k: fn(params, k, coef)
+    else:
+        def run(ps, rng_key):
+            s = dc.replace(sd, unet_params=ps[0], vae_params=ps[1])
+            eps_fn = s.make_eps_fn(cond, uncond, 7.5, control, coef)
+            z = s.sample_from(eps_fn, jax.random.normal(
+                rng_key, (B, 64, 64, 4), jnp.float32), sampler, remat=False)
+            return s.decode_latents(z)
+
+        fn = jax.jit(run)
+        call = lambda k: fn(params, k)
+
+    key = jax.random.PRNGKey(0)
+    t0 = time.perf_counter()
+    jax.block_until_ready(call(key))
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    for i in range(iters):
+        k = jax.random.PRNGKey(i + 1)
+        t0 = time.perf_counter()
+        jax.block_until_ready(call(k))
+        times.append(time.perf_counter() - t0)
+
+    per_call_per_image = min(times) / B
+    if mode == "spacetime":
+        # one call = ONE optimization epoch; the method runs METHOD_EPOCHS
+        # (reference `plms.py:220`) per final image
+        per_image = per_call_per_image * METHOD_EPOCHS
+        metric = (f"512px_optimized_images_per_min_per_chip_"
+                  f"{sampler}{steps}_spacetime{METHOD_EPOCHS}ep")
+        extra = {
+            "s_per_prompt_epoch": round(per_call_per_image, 3),
+            "epochs": METHOD_EPOCHS,
+        }
+    else:
+        per_image = per_call_per_image
+        metric = f"512px_images_per_min_per_chip_{sampler}{steps}_{mode}"
+        extra = {}
+    value = 60.0 / per_image
+    line = {
+        "metric": metric,
+        "value": round(value, 3),
+        "unit": "img/min/chip",
+        "vs_baseline": round(value / GPU_REFERENCE_IMG_PER_MIN, 3),
+        "baseline_assumed": GPU_REFERENCE_IMG_PER_MIN,
+        **extra,
+    }
+    import jax as _jax
+
+    print(
+        f"# {metric}: per-image {per_image:.3f}s, compile {compile_s:.1f}s, "
+        f"times {['%.3f' % t for t in times]}, device {_jax.devices()[0]}",
+        file=sys.stderr,
+    )
+    return line
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--steps", type=int, default=None,
+                    help="(single-mode runs) sampler steps; default 50 "
+                         "vanilla/spatial, 20 spacetime")
     ap.add_argument("--iters", type=int, default=3)
-    ap.add_argument("--mode", choices=["vanilla", "spatial", "spacetime"], default="vanilla")
+    ap.add_argument("--mode", choices=["vanilla", "spatial", "spacetime"],
+                    default=None,
+                    help="run ONE configuration; default (no --mode) runs the "
+                         "two standard lines: vanilla PLMS50 + full-method "
+                         "spacetime DPM20")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--batch", type=int, default=8, help="prompts per step (8 + bf16 scores = measured sweet spot on v5e: 74.2 img/min; 9+ spills HBM)")
     ap.add_argument("--flash", default=None, action="store_true",
@@ -41,133 +191,37 @@ def main():
     ap.add_argument("--fused-control", action="store_true",
                     help="fused Pallas spacetime cross-attention kernel")
     ap.add_argument("--params-dtype", default="float32", help="cast params (e.g. bfloat16)")
-    ap.add_argument("--sampler", choices=["plms", "ddim", "dpm"], default="plms")
+    ap.add_argument("--sampler", choices=["plms", "ddim", "dpm"], default=None,
+                    help="(single-mode runs) default plms vanilla/spatial, "
+                         "dpm spacetime")
     args = ap.parse_args()
-
-    import jax
 
     from diffusion_spacetime_attn_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    import jax.numpy as jnp
-    import numpy as np
 
-    from diffusion_spacetime_attn_tpu.config import (
-        PipelineConfig,
-        SpaceTimeConfig,
-        UNetConfig,
-        VAEConfig,
-    )
-    from diffusion_spacetime_attn_tpu.ops.attention import SpatialControl
-    from diffusion_spacetime_attn_tpu.ops.schedule import make_schedule
-    from diffusion_spacetime_attn_tpu.pipeline.pipeline import StableDiffusion
-
-    if args.flash is None:
-        args.flash = args.mode == "spacetime"
-    cfg = PipelineConfig(
-        unet=UNetConfig(dtype=args.dtype, use_flash=args.flash,
-                        use_fused_control=args.fused_control,
-                        attn_q_chunk=args.q_chunk,
-                        attn_scores_dtype=args.scores_dtype),
-        vae=VAEConfig(dtype=args.dtype),
-        spacetime=SpaceTimeConfig(num_steps=args.steps),
-    )
-    from diffusion_spacetime_attn_tpu.utils.testing import (
-        randomize_params_on_device,
-    )
-
-    sd = StableDiffusion.create(cfg, jax.random.PRNGKey(0), abstract=True)
-    sd = dataclasses.replace(
-        sd,
-        unet_params=randomize_params_on_device(sd.unet_params, jax.random.PRNGKey(1)),
-        vae_params=randomize_params_on_device(sd.vae_params, jax.random.PRNGKey(2)),
-    )
-    sd = dataclasses.replace(
-        sd, schedule=make_schedule(cfg.schedule, args.steps)
-    )
-    if args.params_dtype != "float32":
-        pd = jnp.dtype(args.params_dtype)
-        cast = lambda t: jax.tree_util.tree_map(lambda x: x.astype(pd), t)
-        sd = dataclasses.replace(
-            sd, unet_params=cast(sd.unet_params), vae_params=cast(sd.vae_params)
+    def run_one(mode, sampler=None, steps=None, flash=None, batch=None):
+        sampler = sampler or args.sampler or (
+            "dpm" if mode == "spacetime" else "plms")
+        steps = steps or args.steps or (20 if mode == "spacetime" else 50)
+        if flash is None:
+            flash = args.flash if args.flash is not None else mode == "spacetime"
+        return bench_once(
+            mode=mode, sampler=sampler, steps=steps,
+            batch=batch or args.batch, dtype=args.dtype, flash=flash,
+            q_chunk=args.q_chunk, scores_dtype=args.scores_dtype,
+            fused_control=args.fused_control, params_dtype=args.params_dtype,
+            iters=args.iters,
         )
 
-    B, N, L, D = args.batch, 4, 77, cfg.unet.context_dim
-    rng = np.random.RandomState(0)
-    cond = jnp.array(rng.randn(B, L, D), jnp.float32) * 0.02
-    uncond = jnp.array(rng.randn(B, L, D), jnp.float32) * 0.02
-
-    control = None
-    coef = None
-    if args.mode in ("spatial", "spacetime"):
-        control = SpatialControl(
-            local_contexts=jnp.array(rng.randn(B, N, L, D), jnp.float32) * 0.02,
-            centers=jnp.array(rng.rand(B, N, 2), jnp.float32),
-            coef=jnp.full((B, N), 1.25, jnp.float32),
-            active=jnp.ones((B, N), jnp.float32),
-        )
-        coef = jnp.full((B, N, args.steps), 1.25, jnp.float32)
-
-    import dataclasses as dc
-
-    # params go in as jit ARGUMENTS (closing over them bakes GBs of
-    # constants into the executable and bloats compile time) — but must be
-    # committed device arrays (numpy leaves would re-transfer every call)
-    params = (sd.unet_params, sd.vae_params)
-    jax.block_until_ready(params)
-
-    if args.mode == "spacetime":
-        def run(ps, rng_key, coef):
-            s = dc.replace(sd, unet_params=ps[0], vae_params=ps[1])
-            eps_fn = s.make_eps_fn(cond, uncond, 7.5, control, coef)
-            z = s.sample_from(eps_fn, jax.random.normal(
-                rng_key, (B, 64, 64, 4), jnp.float32), args.sampler, remat=True)
-            img = s.decode_latents(z)
-            return jnp.sum(img)
-
-        fn = jax.jit(jax.value_and_grad(run, argnums=2))
-        call = lambda k: fn(params, k, coef)
-    else:
-        def run(ps, rng_key):
-            s = dc.replace(sd, unet_params=ps[0], vae_params=ps[1])
-            eps_fn = s.make_eps_fn(cond, uncond, 7.5, control, coef)
-            z = s.sample_from(eps_fn, jax.random.normal(
-                rng_key, (B, 64, 64, 4), jnp.float32), args.sampler, remat=False)
-            return s.decode_latents(z)
-
-        fn = jax.jit(run)
-        call = lambda k: fn(params, k)
-
-    key = jax.random.PRNGKey(0)
-    t0 = time.perf_counter()
-    jax.block_until_ready(call(key))
-    compile_s = time.perf_counter() - t0
-
-    times = []
-    for i in range(args.iters):
-        k = jax.random.PRNGKey(i + 1)
-        t0 = time.perf_counter()
-        jax.block_until_ready(call(k))
-        times.append(time.perf_counter() - t0)
-
-    per_image = min(times) / B
-    value = 60.0 / per_image
-    print(
-        json.dumps(
-            {
-                "metric": f"512px_images_per_min_per_chip_{args.sampler}{args.steps}_{args.mode}",
-                "value": round(value, 3),
-                "unit": "img/min/chip",
-                "vs_baseline": round(value / GPU_REFERENCE_IMG_PER_MIN, 3),
-            }
-        )
-    )
-    import sys
-    print(
-        f"# per-image {per_image:.3f}s, compile {compile_s:.1f}s, "
-        f"times {['%.3f' % t for t in times]}, device {jax.devices()[0]}",
-        file=sys.stderr,
-    )
+    if args.mode is not None:
+        print(json.dumps(run_one(args.mode)))
+        return
+    # standard two-line bench: raw generation + the full method
+    # (VERDICT r1: capture the method metric mechanically every round)
+    print(json.dumps(run_one("vanilla", sampler="plms", steps=50)))
+    sys.stdout.flush()
+    print(json.dumps(run_one("spacetime", sampler="dpm", steps=20)))
 
 
 if __name__ == "__main__":

@@ -152,12 +152,21 @@ class RetrievalAugmentedDiffusion:
             e_u, e_c = e[:B], e[B:]
             return e_u + guidance_scale * (e_c - e_u)
 
+        rng, noise_rng = jax.random.split(rng)
         x_T = jax.random.normal(
             rng, (B, self.latent_hw, self.latent_hw,
                   self.unet.cfg.in_channels), jnp.float32)
         fn = {"ddim": ddim_sample, "plms": plms_sample,
               "dpm": dpm_solver_sample}[sampler]
-        z = fn(eps_fn, x_T, self.schedule, remat=False)
+        # With eta>0 the schedule bakes nonzero DDIM sigmas: the sampler must
+        # add the compensating noise, so thread an rng (stochastic=True).
+        # eta==0 keeps the deterministic path (rng=None) for all samplers.
+        import numpy as np
+
+        stochastic = sampler == "ddim" and bool(
+            np.any(np.asarray(self.schedule.sigmas) > 0))
+        z = fn(eps_fn, x_T, self.schedule, remat=False,
+               **({"rng": noise_rng} if stochastic else {}))
         img = self.vae.apply({"params": vae_params}, z / self.scale_factor,
                              method=AutoencoderKL.decode)
         return jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)

@@ -55,16 +55,26 @@ def sharded_search(db: jnp.ndarray, queries: jnp.ndarray, k: int, mesh
 
     ndev = mesh.shape["data"]
     M = db.shape[0]
+    if M // ndev < k:
+        # Shards too small to each hold k candidates — brute force is exact
+        # and trivially cheap at this size anyway.
+        return exact_search(db, queries, k)
     pad = (-M) % ndev
     if pad:
-        db = jnp.pad(db, ((0, pad), (0, 0)))  # zero rows score 0 (pruned below)
+        db = jnp.pad(db, ((0, pad), (0, 0)))
     qn = normalize(queries)
 
     def local_topk(db_shard, q):
         sim = jnp.einsum("bd,md->bm", q, db_shard,
                          preferred_element_type=jnp.float32)
+        # Mask pad rows to -inf so they can never win local top-k and leak
+        # out-of-range global indices (pad rows would otherwise score 0.0
+        # and beat real all-negative-similarity rows).
+        rows = db_shard.shape[0]
+        base = jax.lax.axis_index("data") * rows
+        global_row = base + jnp.arange(rows)
+        sim = jnp.where(global_row[None, :] < M, sim, -jnp.inf)
         s, i = jax.lax.top_k(sim, k)
-        base = jax.lax.axis_index("data") * db_shard.shape[0]
         return s, i + base
 
     from jax.experimental.shard_map import shard_map

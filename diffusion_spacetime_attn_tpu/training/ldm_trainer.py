@@ -50,10 +50,13 @@ def lvlb_weights(cfg: ScheduleConfig, parameterization: str = "eps",
         + v_posterior * betas
     )
     if parameterization == "eps":
-        # posterior_variance[0] = 0 → w[0] = inf, immediately overwritten by
-        # w[1] below (exactly the reference's behavior, ddpm.py:160-167)
-        with np.errstate(divide="ignore"):
-            w = betas ** 2 / (2.0 * posterior_variance * alphas * (1.0 - ac))
+        # posterior_variance[0] = 0 would make w[0] = inf; the reference
+        # computes it anyway and patches w[0] = w[1] after the fact
+        # (ddpm.py:160-167).  Guard the denominator explicitly instead so a
+        # *real* NaN/inf regression elsewhere is never masked by an expected
+        # divide-by-zero warning.
+        denom = 2.0 * posterior_variance * alphas * (1.0 - ac)
+        w = betas ** 2 / np.where(denom == 0.0, 1.0, denom)
     elif parameterization == "x0":
         w = 0.5 * np.sqrt(ac) / (2.0 * 1.0 - ac)
     else:

@@ -159,19 +159,32 @@ class VAETrainer:
                     {"params": params, "batch_stats": stats}, x, train=False)
 
             # ---- adaptive weight: ∇ wrt the decoder's last conv kernel ----
-            last = lambda p: p["decoder"]["conv_out"]["kernel"]
+            # Differentiate w.r.t. the last-layer kernel ONLY (matching the
+            # reference's `last_layer`-restricted autograd.grad,
+            # `contperceptual.py:32-43`): closing over the rest of ae_params
+            # keeps each VJP a single-tensor backward instead of a full
+            # all-params backward whose cotangents XLA may not fully DCE.
+            def with_last(kernel):
+                p = dict(state.ae_params)
+                dec = dict(p["decoder"])
+                co = dict(dec["conv_out"])
+                co["kernel"] = kernel
+                dec["conv_out"] = co
+                p["decoder"] = dec
+                return p
 
-            def nll_scalar(ae_params):
-                recon, _, _ = self._reconstruct(ae_params, images, rng)
+            def nll_scalar(kernel):
+                recon, _, _ = self._reconstruct(with_last(kernel), images, rng)
                 return nll_of(recon, images, state.lpips_params, state.logvar)[0]
 
-            def g_scalar(ae_params):
-                recon, _, _ = self._reconstruct(ae_params, images, rng)
+            def g_scalar(kernel):
+                recon, _, _ = self._reconstruct(with_last(kernel), images, rng)
                 return -jnp.mean(disc_logits(recon, state.disc_params,
                                              state.disc_stats))
 
-            g_nll = last(jax.grad(nll_scalar)(state.ae_params))
-            g_g = last(jax.grad(g_scalar)(state.ae_params))
+            kernel0 = state.ae_params["decoder"]["conv_out"]["kernel"]
+            g_nll = jax.grad(nll_scalar)(kernel0)
+            g_g = jax.grad(g_scalar)(kernel0)
             d_weight = jnp.linalg.norm(g_nll) / (jnp.linalg.norm(g_g) + 1e-4)
             d_weight = jax.lax.stop_gradient(
                 jnp.clip(d_weight, 0.0, 1e4)) * cfg.disc_weight

@@ -388,6 +388,117 @@ def convert_hf_roberta(sd: Dict[str, np.ndarray], prefix: str = ""):
     return params
 
 
+# --------------------------------------------------------------------------
+# fairseq Rel2Bbox layout checkpoint (`checkpoint_90_0.0.pth`) →
+# models.layout.model.LayoutPredictor
+# --------------------------------------------------------------------------
+
+def convert_fairseq_rel2bbox(sd: Dict[str, np.ndarray]) -> Dict:
+    """Reference `Rel2Bbox` state dict → full LayoutPredictor pytree.
+
+    The reference model (`model/Model.py:1017-1034`) is a torch.hub RoBERTa
+    whose encoder is replaced by the custom `RobertaEncoder`
+    (`Model.py:533-628`), so the checkpoint pinned by inference
+    (`inference_coco.py:467-477`) carries fairseq naming:
+
+      encoder[.model].encoder.sentence_encoder.embed_tokens.weight
+      encoder[.model].encoder.sentence_encoder.embed_positions.weight
+      encoder[.model].encoder.sentence_encoder.layernorm_embedding.*
+      encoder[.model].encoder.sentence_encoder.object_embedding   (`Model.py:73-74`)
+      encoder[.model].encoder.sentence_encoder.layers.{i}.self_attn.{q,k,v,out}_proj.*
+      encoder[.model].encoder.sentence_encoder.layers.{i}.{self_attn_layer_norm,
+                                                           fc1,fc2,final_layer_norm}.*
+      bbox_head.Decoder.output_Layer.*                 (`bbox_head.py:241-242`)
+      bbox_head.Decoder.box_predictor.xy_bivariate.*   (`bbox_head.py:54`)
+
+    Dead modules (lm_head, the never-invoked CustomTransformerDecoder,
+    refine_encoder/refine_box_head — see `PDFDecoder.forward`,
+    `bbox_head.py:263-267`) are ignored.
+
+    fairseq conventions that line up with our backbone without remapping:
+    learned positions are indexed `padding_idx + cumsum(mask)` on both sides
+    (fairseq `utils.make_positions` ≡ our RobertaBackbone), and
+    `no_scale_embedding=True` for RoBERTa so embed_scale is 1.
+    """
+    # normalize the backbone prefix: accept any nesting down to
+    # `sentence_encoder.*`
+    enc = {}
+    for k, v in sd.items():
+        pos = k.find("sentence_encoder.")
+        if pos >= 0:
+            enc[k[pos + len("sentence_encoder."):]] = v
+    if not enc:
+        raise ValueError("no sentence_encoder.* keys — not a fairseq "
+                         "Rel2Bbox checkpoint")
+
+    backbone = {
+        "token_embedding": {"embedding": enc["embed_tokens.weight"]},
+        "position_embedding": {"embedding": enc["embed_positions.weight"]},
+        "emb_ln": _norm(enc, "layernorm_embedding"),
+        "object_embedding": enc["object_embedding"].reshape(1, -1),
+    }
+    i = 0
+    while f"layers.{i}.self_attn.q_proj.weight" in enc:
+        p = f"layers.{i}"
+        backbone[f"layer_{i}"] = {
+            "attn": {
+                "q": _dense(enc, f"{p}.self_attn.q_proj"),
+                "k": _dense(enc, f"{p}.self_attn.k_proj"),
+                "v": _dense(enc, f"{p}.self_attn.v_proj"),
+                "out": _dense(enc, f"{p}.self_attn.out_proj"),
+            },
+            "attn_ln": _norm(enc, f"{p}.self_attn_layer_norm"),
+            "fc1": _dense(enc, f"{p}.fc1"),
+            "fc2": _dense(enc, f"{p}.fc2"),
+            "final_ln": _norm(enc, f"{p}.final_layer_norm"),
+        }
+        i += 1
+
+    head_prefix = None
+    for cand in ("bbox_head.Decoder.", "Decoder."):
+        if f"{cand}output_Layer.weight" in sd:
+            head_prefix = cand
+            break
+    if head_prefix is None:
+        raise ValueError("no bbox_head.Decoder.output_Layer.* keys")
+    head = {
+        "output_layer": _dense(sd, f"{head_prefix}output_Layer"),
+        "xy_bivariate": _dense(sd, f"{head_prefix}box_predictor.xy_bivariate"),
+    }
+    return {"backbone": backbone, "head": head}
+
+
+def load_fairseq_dictionary(path: str) -> Dict[int, int]:
+    """`configs/test-dictionary.pkl` (a pickled fairseq `Dictionary`) →
+    {gpt2_bpe_id: fairseq_index}.
+
+    fairseq RoBERTa's dictionary symbols are, after the 4 specials
+    (<s>=0, <pad>=1, </s>=2, <unk>=3), the GPT-2 byte-BPE token *ids as
+    strings* in corpus-frequency order (`Model.py:540-542` loads it;
+    `roberta.encode` at `inference_coco.py:489-492` emits these indices).
+    Unpickled WITHOUT fairseq via a stub class loader — only the plain
+    `symbols` list is needed.
+    """
+    import io
+    import pickle
+
+    class _StubUnpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            try:
+                return super().find_class(module, name)
+            except Exception:
+                return type(name, (), {})
+
+    with open(path, "rb") as f:
+        obj = _StubUnpickler(io.BytesIO(f.read())).load()
+    symbols = obj.symbols if hasattr(obj, "symbols") else obj["symbols"]
+    mapping: Dict[int, int] = {}
+    for idx, sym in enumerate(symbols):
+        if sym.lstrip("-").isdigit():
+            mapping[int(sym)] = idx
+    return mapping
+
+
 # torchvision VGG16 `features` conv indices, in order (pools at 4,9,16,23,30)
 _VGG16_CONV_IDX = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
 _VGG16_SLICE_OF = {0: 1, 2: 1, 5: 2, 7: 2, 10: 3, 12: 3, 14: 3,

@@ -64,8 +64,10 @@ def load_layout_predictor(
     ckpt_path: Optional[str] = None,
     rng: Optional[jax.Array] = None,
 ):
-    """ckpt_path: an orbax checkpoint dir (ours) or a torch .pth with HF
-    RoBERTa keys for the backbone (head randomly initialized)."""
+    """ckpt_path: an orbax checkpoint dir (ours), the reference's fairseq
+    Rel2Bbox .pth (`checkpoint_90_0.0.pth` naming, full model incl. GMM
+    head — `inference_coco.py:467-477`), or a torch .pth with HF RoBERTa
+    keys for the backbone only (head randomly initialized)."""
     from ..models.layout.model import create_layout_predictor
 
     rng = jax.random.PRNGKey(0) if rng is None else rng
@@ -73,9 +75,12 @@ def load_layout_predictor(
     if ckpt_path:
         if ckpt_path.endswith((".pth", ".pt", ".ckpt", ".safetensors")):
             state = convert.load_torch_checkpoint(ckpt_path)
-            backbone = convert.convert_hf_roberta(state, prefix="roberta.")
-            params = dict(params)
-            params["backbone"] = {**params["backbone"], **backbone}
+            if any("sentence_encoder." in k for k in state):
+                params = convert.convert_fairseq_rel2bbox(state)
+            else:
+                backbone = convert.convert_hf_roberta(state, prefix="roberta.")
+                params = dict(params)
+                params["backbone"] = {**params["backbone"], **backbone}
         else:
             import orbax.checkpoint as ocp
 

@@ -77,9 +77,14 @@ class NativeBPE:
         self.bos, self.eos, self.pad = bos, eos, pad
 
     @classmethod
-    def from_files(cls, vocab_path: str, merges_path: str, **kw):
+    def from_files(cls, vocab_path: str, merges_path: str, id_map=None, **kw):
+        """id_map: optional {gpt2_id: target_id} content-id remap (fairseq
+        dictionary bridge; missing → 3 = <unk>) — applied at vocab build so
+        the C++ core emits target-space ids directly."""
         with open(vocab_path) as f:
             vocab = json.load(f)
+        if id_map is not None:
+            vocab = {t: id_map.get(i, 3) for t, i in vocab.items()}
         with open(merges_path) as f:
             lines = f.read().split("\n")
         merges = [

@@ -128,9 +128,16 @@ class GPT2Tokenizer:
         re.IGNORECASE,
     )
 
-    def __init__(self, vocab_path: str, merges_path: str, bos=0, eos=2, pad=1):
+    def __init__(self, vocab_path: str, merges_path: str, bos=0, eos=2, pad=1,
+                 id_map=None):
+        """id_map: optional {gpt2_id: target_id} applied to content tokens
+        (missing → 3 = <unk>) — the fairseq-dictionary bridge
+        (`convert.load_fairseq_dictionary`); specials bos/eos/pad are already
+        in the target id space (fairseq <s>=0, <pad>=1, </s>=2)."""
         with open(vocab_path) as f:
             self.vocab = json.load(f)
+        if id_map is not None:
+            self.vocab = {t: id_map.get(i, 3) for t, i in self.vocab.items()}
         with open(merges_path) as f:
             lines = f.read().split("\n")
         merges = [tuple(l.split()) for l in lines if l and not l.startswith("#")]
@@ -241,17 +248,30 @@ def make_roberta_tokenizer(
     vocab_path: Optional[str] = None,
     merges_path: Optional[str] = None,
     prefer_native: bool = True,
+    fairseq_dict_path: Optional[str] = None,
 ):
     """RoBERTa BPE if vocab files available (native C++ core when the
     toolchain permits), else HashTokenizer with RoBERTa's special ids
-    (bos=0, eos=2, pad=1)."""
+    (bos=0, eos=2, pad=1).
+
+    fairseq_dict_path: the reference's `configs/test-dictionary.pkl` — when
+    given, content ids are emitted in the fairseq dictionary index space
+    (what `roberta.encode` produces, `inference_coco.py:489-492`) so tokens
+    line up with the reference layout checkpoint's embedding table.
+    """
+    id_map = None
+    if fairseq_dict_path and os.path.exists(fairseq_dict_path):
+        from .convert import load_fairseq_dictionary
+
+        id_map = load_fairseq_dictionary(fairseq_dict_path)
     if vocab_path and merges_path and os.path.exists(vocab_path):
         if prefer_native:
             try:
                 from .native_bpe import NativeBPE
 
-                return NativeBPE.from_files(vocab_path, merges_path)
+                return NativeBPE.from_files(vocab_path, merges_path,
+                                            id_map=id_map)
             except Exception:
                 pass
-        return GPT2Tokenizer(vocab_path, merges_path)
+        return GPT2Tokenizer(vocab_path, merges_path, id_map=id_map)
     return HashTokenizer(vocab_size=50265, bos=0, eos=2, pad=1, reserved=10)

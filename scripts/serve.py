@@ -137,7 +137,7 @@ def main():
                         clip_model.init, jax.random.PRNGKey(0),
                         jnp.zeros((1, clip_model.cfg.vision.image_size,
                                    clip_model.cfg.vision.image_size, 3)),
-                        jnp.zeros((1, 77), jnp.int32),
+                        jnp.zeros((1, clip_model.cfg.text.max_len), jnp.int32),
                     )["params"],
                     jax.random.PRNGKey(9),
                 )

@@ -1,0 +1,254 @@
+"""Legacy loss formulas (numpy oracles replicating `trainer/loss.py:89-716`)
+and one train step per legacy trainer (`trainer/{Trainer,RegTrainer,
+Finetune}.py`)."""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_spacetime_attn_tpu.models.layout.legacy import LegacyConfig
+from diffusion_spacetime_attn_tpu.training.legacy_losses import (
+    focal_loss,
+    log_pdf_loss,
+    nll_loss,
+    reg_loss,
+    xent_loss,
+)
+from diffusion_spacetime_attn_tpu.training.legacy_trainer import (
+    LegacyDiscreteTrainer,
+    LegacyFinetuneTrainer,
+    LegacyRegTrainer,
+    LegacyTrainConfig,
+)
+
+K = 5
+
+
+# ---------------------------------------------------------------- oracles
+def np_gmm_params(g):
+    pi, ux, uy, sx, sy, rho = np.split(g, 6, axis=-1)
+    e = np.exp(pi - pi.max(-1, keepdims=True))
+    return e / e.sum(-1, keepdims=True), ux, uy, np.exp(sx), np.exp(sy), np.tanh(rho)
+
+
+def np_pdf(g, a, b, topk=-1):
+    """`Log_Pdf.pdf` (`loss.py:240-268`)."""
+    pi, ux, uy, sx, sy, rho = np_gmm_params(g)
+    a = a[:, None]
+    b = b[:, None]
+    z = ((a - ux) / sx) ** 2 + ((b - uy) / sy) ** 2 \
+        - 2 * rho * (a - ux) * (b - uy) / (sx * sy)
+    raw = pi * np.exp(-z / (2 * (1 - rho ** 2))) / np.clip(
+        2 * math.pi * sx * sy * np.sqrt(1 - rho ** 2), 1e-5, None)
+    if topk != -1:
+        dist = np.sqrt((a - ux) ** 2 + (b - uy) ** 2)
+        keep = np.argsort(dist, axis=1)[:, :topk]
+        m = np.zeros_like(raw)
+        np.put_along_axis(m, keep, 1.0, axis=1)
+        raw = raw * m
+    return np.log(raw.sum(1) + 1e-5)
+
+
+def test_log_pdf_loss_matches_oracle():
+    rng = np.random.RandomState(0)
+    T = 8
+    gmm = rng.randn(T, 12 * K).astype(np.float32)
+    xywh = rng.rand(T, 4).astype(np.float32)
+    xywh[5] = 2.0  # ignore sentinel on an odd (labeled) row
+    got_bbox, got_kl = log_pdf_loss(jnp.array(gmm), jnp.array(xywh))
+    # oracle: rows [1::2], drop sentinel rows, -sum xy pdf - sum wh pdf
+    g, t = gmm[1::2], xywh[1::2]
+    keep = t[:, 0] != 2.0
+    g, t = g[keep], t[keep]
+    expect = -np_pdf(g[:, :6 * K], t[:, 0], t[:, 1]).sum() \
+             - np_pdf(g[:, 6 * K:], t[:, 2], t[:, 3]).sum()
+    np.testing.assert_allclose(float(got_bbox), expect, rtol=1e-5)
+    assert float(got_kl) == 0.0
+
+
+def test_log_pdf_topk_and_kl():
+    rng = np.random.RandomState(1)
+    T = 6
+    gmm = rng.randn(T, 12 * K).astype(np.float32)
+    xywh = rng.rand(T, 4).astype(np.float32)
+    got_bbox, got_kl = log_pdf_loss(jnp.array(gmm), jnp.array(xywh),
+                                    topk=2, kd=True)
+    g, t = gmm[1::2], xywh[1::2]
+    expect = -np_pdf(g[:, :6 * K], t[:, 0], t[:, 1], topk=2).sum() \
+             - np_pdf(g[:, 6 * K:], t[:, 2], t[:, 3], topk=2).sum()
+    np.testing.assert_allclose(float(got_bbox), expect, rtol=1e-5)
+    # KL vs N(mu, I) with mu2=mu1 (`loss.py:174-202`):
+    # 0.5*(log(1/σxσy) − 2 + σx + σy) per component
+    kl = 0.0
+    for half in (g[:, :6 * K], g[:, 6 * K:]):
+        _, _, _, sx, sy, _ = np_gmm_params(half)
+        kl += (0.5 * (np.log(1.0 / (sx * sy)) - 2 + sx + sy)).sum()
+    np.testing.assert_allclose(float(got_kl), kl, rtol=1e-5)
+
+
+def test_reg_loss_pretrain_and_first_sentinel():
+    rng = np.random.RandomState(2)
+    pred = rng.rand(8, 4).astype(np.float32) - 0.2   # negatives → abs()
+    targ = rng.rand(8, 4).astype(np.float32)
+    targ[5] = 2.0
+    # pretrain: rows [1::2] = 1,3,5,7; row 5 masked
+    got = reg_loss(jnp.array(pred), jnp.array(targ), pretrain=True)
+    p, t = np.abs(pred)[1::2], targ[1::2]
+    keep = t[:, 0] != 2.0
+    p, t = p[keep], t[keep]
+    expect = ((p[:, :2] - t[:, :2]) ** 2).sum() + \
+             ((np.sqrt(p[:, 2:]) - np.sqrt(t[:, 2:])) ** 2).sum()
+    np.testing.assert_allclose(float(got), expect, rtol=1e-5)
+    # non-pretrain: mask EVERYTHING from the first sentinel row on
+    # (`loss.py:63-68`)
+    got2 = reg_loss(jnp.array(pred), jnp.array(targ), pretrain=False,
+                    reduction="mean")
+    p2, t2 = np.abs(pred)[:5], targ[:5]
+    expect2 = (((p2[:, :2] - t2[:, :2]) ** 2).sum()
+               + ((np.sqrt(p2[:, 2:]) - np.sqrt(t2[:, 2:])) ** 2).sum()) / 5
+    np.testing.assert_allclose(float(got2), expect2, rtol=1e-5)
+
+
+def test_focal_loss_matches_oracle():
+    rng = np.random.RandomState(3)
+    x = rng.rand(6, 4).astype(np.float32)
+    t = np.array([0, 3, 1, 2, 9, 1])  # 9 = ignore
+    got = focal_loss(jnp.array(x), jnp.array(t), gamma=2.0, alpha=0.25,
+                     ignore_index=9)
+    keep = t != 9
+    xs, ts = x[keep], t[keep]
+    onehot = np.eye(4)[ts]
+    fw = np.where(onehot == 1, 1 - xs, xs)
+    fw = np.where(onehot == 1, 0.25, 0.75) * fw ** 2
+    p = np.exp(xs - xs.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    p = np.clip(p, 1e-12, 1 - 1e-12)
+    bce = -(onehot * np.log(p) + (1 - onehot) * np.log(1 - p)).mean()
+    expect = (fw * bce).sum()
+    np.testing.assert_allclose(float(got), expect, rtol=1e-5)
+
+
+def test_xent_loss_matches_torch_kldiv():
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(4)
+    V, N, pad = 7, 5, 1
+    logits = rng.randn(N, V).astype(np.float32)
+    lp = np.log(np.exp(logits) / np.exp(logits).sum(-1, keepdims=True))
+    t = np.array([0, 3, 1, 5, 6])  # contains a pad row
+    got = xent_loss(jnp.array(lp), jnp.array(t), pad_index=pad, smoothing=0.1)
+    # torch oracle replicating XentLoss._smooth_targets (`loss.py:670-692`)
+    smooth = torch.zeros(N, V)
+    smooth.fill_(0.1 / (V - 2))
+    smooth.scatter_(1, torch.tensor(t)[:, None], 0.9)
+    smooth[:, pad] = 0
+    smooth[torch.tensor(t) == pad] = 0
+    expect = F.kl_div(torch.tensor(lp), smooth, reduction="sum")
+    np.testing.assert_allclose(float(got), float(expect), rtol=1e-5)
+    # smoothing=0 → plain NLL with pad ignored
+    got0 = xent_loss(jnp.array(lp), jnp.array(t), pad_index=pad, smoothing=0.0)
+    expect0 = F.nll_loss(torch.tensor(lp), torch.tensor(t),
+                         ignore_index=pad, reduction="sum")
+    np.testing.assert_allclose(float(got0), float(expect0), rtol=1e-5)
+
+
+def test_nll_loss_matches_torch():
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(5)
+    lp = np.log(jax.nn.softmax(jnp.array(rng.randn(6, 5), jnp.float32)))
+    t = np.array([0, 2, 4, 0, 1, 3])
+    got = nll_loss(jnp.array(lp), jnp.array(t), ignore_index=0)
+    expect = F.nll_loss(torch.tensor(np.asarray(lp)), torch.tensor(t),
+                        ignore_index=0, reduction="sum")
+    np.testing.assert_allclose(float(got), float(expect), rtol=1e-5)
+
+
+# ------------------------------------------------------------- trainers
+TINY = LegacyConfig(vocab_size=30, obj_id_size=12, cls_size=10, pos_size=9,
+                    shape_size=9, hidden=32, layers=1, heads=2,
+                    max_rel_pair=8, max_out_len=6)
+
+
+def _discrete_batch(rng, B=2, L=8, T=6):
+    return {
+        "tokens": jnp.array(rng.randint(1, 30, (B, L))),
+        "obj_ids": jnp.array(rng.randint(0, 12, (B, L))),
+        "segments": jnp.array(rng.randint(0, 8, (B, L))),
+        "token_types": jnp.array(rng.randint(0, 4, (B, L))),
+        "cats": jnp.array(rng.randint(1, 10, (B, T))),
+        "pos": jnp.array(rng.randint(1, 9, (B, T))),
+        "shapes": jnp.array(rng.randint(1, 9, (B, T))),
+    }
+
+
+def test_discrete_trainer_step_decreases_loss():
+    rng = np.random.RandomState(7)
+    trainer = LegacyDiscreteTrainer(TINY, LegacyTrainConfig(
+        encoder_lr=5e-3, decoder_lr=5e-3))
+    batch = _discrete_batch(rng)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    losses = []
+    for _ in range(8):
+        state, m = trainer.train_step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+
+
+def test_reg_trainer_step_decreases_loss():
+    rng = np.random.RandomState(8)
+    trainer = LegacyRegTrainer(TINY, LegacyTrainConfig(
+        encoder_lr=5e-3, decoder_lr=5e-3))
+    batch = _discrete_batch(rng)
+    batch["boxes"] = jnp.array(rng.rand(2, 6, 4), jnp.float32)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    losses = []
+    for _ in range(8):
+        state, m = trainer.train_step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+
+
+def test_finetune_trainer_step():
+    rng = np.random.RandomState(9)
+    trainer = LegacyFinetuneTrainer(TINY, LegacyTrainConfig(
+        encoder_lr=5e-3, decoder_lr=5e-3))
+    B, L = 2, 8
+    batch = {
+        "tokens": jnp.array(rng.randint(1, 30, (B, L))),
+        "obj_ids": jnp.array(rng.randint(0, 12, (B, L))),
+        "segments": jnp.array(rng.randint(0, 8, (B, L))),
+        "token_types": jnp.array(rng.randint(0, 4, (B, L))),
+        "labels": jnp.array(rng.randint(0, 30, (B, L))),
+        "type_labels": jnp.array(rng.randint(0, 4, (B, L))),
+    }
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    losses = []
+    for _ in range(8):
+        state, m = trainer.train_step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+
+
+def test_optimizer_groups_split_encoder_decoder():
+    """Encoder params move only under the encoder LR (set decoder LR to 0 →
+    heads frozen)."""
+    rng = np.random.RandomState(10)
+    trainer = LegacyDiscreteTrainer(TINY, LegacyTrainConfig(
+        encoder_lr=1e-2, decoder_lr=0.0))
+    batch = _discrete_batch(rng)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    before = jax.tree_util.tree_map(np.asarray, state.params)
+    state, _ = trainer.train_step(state, batch)
+    after = state.params
+    assert not np.allclose(before["encoder"]["word_embed"]["embedding"]
+                           if "word_embed" in before["encoder"]
+                           else jax.tree_util.tree_leaves(before["encoder"])[0],
+                           jax.tree_util.tree_leaves(after["encoder"])[0])
+    np.testing.assert_array_equal(
+        before["cls_head"]["kernel"], np.asarray(after["cls_head"]["kernel"]))
