@@ -1,5 +1,6 @@
 from .server import (  # noqa: F401
     BatchingService,
+    ServiceSaturated,
     SpaceTimeEngine,
     TextToImageEngine,
     serve,

@@ -272,23 +272,43 @@ class SpaceTimeEngine:
         return imgs
 
 
+class ServiceSaturated(Exception):
+    """Raised by submit() when the bounded queue is full (backpressure —
+    the HTTP front maps this to 503)."""
+
+
 @dataclass
 class _Request:
     prompt: str
     seed: int
     future: Future
+    enqueued_at: float = 0.0
 
 
 class BatchingService:
-    """Thread-safe dynamic batcher in front of a TextToImageEngine."""
+    """Thread-safe dynamic batcher in front of a TextToImageEngine.
 
-    def __init__(self, engine: TextToImageEngine, max_wait_s: float = 0.2):
+    Production hardening (the raw engine has none of this):
+      * bounded queue (`max_queue`, default 8× batch) — `submit` raises
+        `ServiceSaturated` instead of growing without bound while a slow
+        compile or stuck device backs traffic up;
+      * per-request timeout (`request_timeout_s`): requests that waited too
+        long in the queue are expired with TimeoutError *before* wasting a
+        device batch on them.
+    """
+
+    def __init__(self, engine: TextToImageEngine, max_wait_s: float = 0.2,
+                 max_queue: Optional[int] = None,
+                 request_timeout_s: Optional[float] = None):
         self.engine = engine
         self.max_wait_s = max_wait_s
-        self._q: "queue.Queue[_Request]" = queue.Queue()
+        self.request_timeout_s = request_timeout_s
+        maxsize = max_queue if max_queue is not None else 8 * engine.batch_size
+        self._q: "queue.Queue[_Request]" = queue.Queue(maxsize=maxsize)
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._loop, daemon=True)
-        self.stats = {"requests": 0, "batches": 0, "batched_rows": 0}
+        self.stats = {"requests": 0, "batches": 0, "batched_rows": 0,
+                      "rejected": 0, "timed_out": 0}
 
     def start(self):
         self._worker.start()
@@ -298,29 +318,53 @@ class BatchingService:
         self._stop.set()
         self._worker.join(timeout=5)
 
+    def queue_depth(self) -> int:
+        return self._q.qsize()
+
     def submit(self, prompt: str, seed: int = 1) -> Future:
         fut: Future = Future()
-        self._q.put(_Request(prompt, seed, fut))
+        try:
+            self._q.put_nowait(_Request(prompt, seed, fut, time.time()))
+        except queue.Full:
+            self.stats["rejected"] += 1
+            raise ServiceSaturated(
+                f"queue full ({self._q.maxsize} pending)") from None
         self.stats["requests"] += 1
         return fut
 
+    def _expired(self, r: _Request) -> bool:
+        if self.request_timeout_s is None:
+            return False
+        if time.time() - r.enqueued_at <= self.request_timeout_s:
+            return False
+        self.stats["timed_out"] += 1
+        if not r.future.done():
+            r.future.set_exception(
+                TimeoutError(f"request waited > {self.request_timeout_s}s"))
+        return True
+
     def _drain(self) -> List[_Request]:
         """Block for one request, then gather more until the batch is full or
-        max_wait_s elapses (classic dynamic batching)."""
+        max_wait_s elapses (classic dynamic batching).  Expired requests are
+        failed fast and never reach the device."""
+        batch: List[_Request] = []
         try:
             first = self._q.get(timeout=0.1)
         except queue.Empty:
-            return []
-        batch = [first]
+            return batch
+        if not self._expired(first):
+            batch.append(first)
         deadline = time.time() + self.max_wait_s
         while len(batch) < self.engine.batch_size:
             remaining = deadline - time.time()
             if remaining <= 0:
                 break
             try:
-                batch.append(self._q.get(timeout=remaining))
+                r = self._q.get(timeout=max(remaining, 0.001) if batch else 0.1)
             except queue.Empty:
                 break
+            if not self._expired(r):
+                batch.append(r)
         return batch
 
     def _loop(self):
@@ -372,7 +416,8 @@ def serve(service: BatchingService, host: str = "0.0.0.0", port: int = 8000,
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._json(200, {"ok": True, **service.stats})
+                self._json(200, {"ok": True, "queue_depth": service.queue_depth(),
+                                 **service.stats})
             else:
                 self._json(404, {"error": "unknown path"})
 
@@ -383,12 +428,23 @@ def serve(service: BatchingService, host: str = "0.0.0.0", port: int = 8000,
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
-                fut = service.submit(str(req["prompt"]), int(req.get("seed", 1)))
-                img = fut.result()
+                try:
+                    fut = service.submit(str(req["prompt"]),
+                                         int(req.get("seed", 1)))
+                except ServiceSaturated as e:
+                    self._json(503, {"error": str(e), "retry_after_s": 1})
+                    return
+                # end-to-end deadline: queue wait (bounded by the service's
+                # request_timeout_s) + one batch execution
+                deadline = (2.0 * service.request_timeout_s
+                            if service.request_timeout_s else None)
+                img = fut.result(timeout=deadline)
                 self._json(200, {
                     "image": base64.b64encode(_png_bytes(img)).decode(),
                     "shape": list(img.shape),
                 })
+            except TimeoutError as e:
+                self._json(504, {"error": f"timeout: {e}"})
             except Exception as e:
                 self._json(500, {"error": repr(e)})
 

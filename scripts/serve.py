@@ -36,6 +36,18 @@ def main():
     ap.add_argument("--scale", type=float, default=7.5)
     ap.add_argument("--max-wait", type=float, default=0.2,
                     help="seconds to wait filling a batch")
+    ap.add_argument("--max-queue", type=int, default=None,
+                    help="bounded request queue size (default 8x batch); "
+                         "full queue -> HTTP 503")
+    ap.add_argument("--request-timeout", type=float, default=None,
+                    help="seconds a request may wait in the queue before it "
+                         "is expired (HTTP 504)")
+    ap.add_argument("--warmup-only", action="store_true",
+                    help="compile the serving program (populating the "
+                         "persistent cache at /tmp/dsta_jax_cache) and exit "
+                         "— run this before routing traffic so the spacetime "
+                         "engine's cold compile (~20 min) never blocks a "
+                         "request")
     ap.add_argument("--ckpt", default=None, help="CompVis sd-v1-4 checkpoint")
     ap.add_argument("--clip-vocab", default=None)
     ap.add_argument("--dtype", default="bfloat16")
@@ -170,7 +182,13 @@ def main():
         )
     logger.info("compiling batch-%d %s program…", args.batch, args.sampler)
     logger.info("warmup done in %.1fs", engine.warmup())
-    service = BatchingService(engine, max_wait_s=args.max_wait).start()
+    if args.warmup_only:
+        logger.info("--warmup-only: compile cache populated, exiting")
+        return
+    service = BatchingService(
+        engine, max_wait_s=args.max_wait, max_queue=args.max_queue,
+        request_timeout_s=args.request_timeout,
+    ).start()
     logger.info("serving on %s:%d (POST /txt2img, GET /healthz)",
                 args.host, args.port)
     serve(service, args.host, args.port)

@@ -183,3 +183,94 @@ def test_spacetime_serving_mode(engine):
     # the same per-request noise but through the spacetime x_T path
     v = engine.generate_batch(["a cat here"], [1])
     assert (imgs[0] != v[0]).any()
+
+
+class _SlowEngine:
+    """Duck-typed engine whose batches take `delay` seconds (hardening tests
+    need no real model)."""
+
+    def __init__(self, batch_size=2, delay=0.0):
+        self.batch_size = batch_size
+        self.delay = delay
+        self.calls = []
+
+    def generate_batch(self, prompts, seeds):
+        import time as _t
+
+        if self.delay:
+            _t.sleep(self.delay)
+        self.calls.append(list(prompts))
+        return np.zeros((len(prompts), 4, 4, 3), np.uint8)
+
+
+def test_bounded_queue_raises_saturated():
+    from diffusion_spacetime_attn_tpu.serving import ServiceSaturated
+
+    svc = BatchingService(_SlowEngine(batch_size=2, delay=0.3),
+                          max_wait_s=0.01, max_queue=3)
+    # NOT started: the queue only fills
+    futs = [svc.submit(f"p{i}") for i in range(3)]
+    with pytest.raises(ServiceSaturated):
+        svc.submit("overflow")
+    assert svc.stats["rejected"] == 1
+    assert svc.queue_depth() == 3
+    svc.start()
+    for f in futs:
+        assert f.result(timeout=10).shape == (4, 4, 3)
+    svc.stop()
+
+
+def test_request_timeout_expires_stale_requests():
+    svc = BatchingService(_SlowEngine(batch_size=1, delay=0.0),
+                          max_wait_s=0.01, request_timeout_s=0.2)
+    stale = svc.submit("stale")
+    import time as _t
+
+    _t.sleep(0.4)  # expire before the worker starts
+    fresh_before = svc.stats["timed_out"]
+    svc.start()
+    with pytest.raises(TimeoutError):
+        stale.result(timeout=5)
+    fresh = svc.submit("fresh")
+    assert fresh.result(timeout=5).shape == (4, 4, 3)
+    assert svc.stats["timed_out"] == fresh_before + 1
+    svc.stop()
+
+
+def test_http_503_on_saturation(engine):
+    """Saturated service returns 503 with retry_after, healthz shows depth."""
+    slow = _SlowEngine(batch_size=1, delay=0.5)
+    svc = BatchingService(slow, max_wait_s=0.01, max_queue=1).start()
+    httpd = serve(svc, host="127.0.0.1", port=0, block=False)
+    port = httpd.server_address[1]
+
+    def post(prompt):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/txt2img",
+            data=json.dumps({"prompt": prompt}).encode(),
+            method="POST")
+        try:
+            with urllib.request.urlopen(req, timeout=15) as r:
+                return r.status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    # fill the worker (1 in flight) + the queue (1 waiting), then overflow
+    codes = []
+    threads = [threading.Thread(target=lambda: codes.append(post("a")))
+               for _ in range(4)]
+    for t in threads:
+        t.start()
+        import time as _t
+
+        _t.sleep(0.05)
+    for t in threads:
+        t.join()
+    assert 503 in codes, codes
+    assert 200 in codes, codes
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=5) as r:
+        h = json.loads(r.read())
+    assert "queue_depth" in h and "rejected" in h
+    httpd.shutdown()
+    svc.stop()
