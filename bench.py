@@ -34,7 +34,8 @@ METHOD_EPOCHS = 3  # reference `plms.py:220`
 
 
 def bench_once(mode, sampler, steps, batch, dtype, flash, q_chunk,
-               scores_dtype, fused_control, params_dtype, iters):
+               scores_dtype, fused_control, params_dtype, iters,
+               num_objects=4):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -75,7 +76,7 @@ def bench_once(mode, sampler, steps, batch, dtype, flash, q_chunk,
             sd, unet_params=cast(sd.unet_params), vae_params=cast(sd.vae_params)
         )
 
-    B, N, L, D = batch, 4, 77, cfg.unet.context_dim
+    B, N, L, D = batch, num_objects, 77, cfg.unet.context_dim
     rng = np.random.RandomState(0)
     cond = jnp.array(rng.randn(B, L, D), jnp.float32) * 0.02
     uncond = jnp.array(rng.randn(B, L, D), jnp.float32) * 0.02
@@ -191,6 +192,8 @@ def main():
     ap.add_argument("--fused-control", action="store_true",
                     help="fused Pallas spacetime cross-attention kernel")
     ap.add_argument("--params-dtype", default="float32", help="cast params (e.g. bfloat16)")
+    ap.add_argument("--objects", type=int, default=4,
+                    help="controlled objects N (spatial/spacetime modes)")
     ap.add_argument("--sampler", choices=["plms", "ddim", "dpm"], default=None,
                     help="(single-mode runs) default plms vanilla/spatial, "
                          "dpm spacetime")
@@ -211,7 +214,7 @@ def main():
             batch=batch or args.batch, dtype=args.dtype, flash=flash,
             q_chunk=args.q_chunk, scores_dtype=args.scores_dtype,
             fused_control=args.fused_control, params_dtype=args.params_dtype,
-            iters=args.iters,
+            iters=args.iters, num_objects=args.objects,
         )
 
     if args.mode is not None:

@@ -11,11 +11,15 @@ versus the XLA path (`ops.attention.spacetime_cross_attention`) this avoids
 materializing the [B, N, Lq, inner] local-attention tensor in HBM — the
 locals live only as VMEM accumulators.
 
-The kernel is forward-only; gradients (needed w.r.t. q and coef for the
-temporal optimization) come from a custom VJP that recomputes through the
-XLA reference implementation — exact, and the XLA path stays the permanent
-correctness oracle (tests run the kernel in interpret mode on CPU against
-it).
+The backward is a second fused Pallas kernel (`_bwd_kernel`): it recomputes
+the softmaxes per query block (flash-attention-style, no stored
+probabilities) and emits dq, dkc/dvc, dlk/dlv, and the per-object blend
+dot-products T_n[q] = (loc_n[q] − g_u[q])·ḡ[q] from which dcoef/dmasks/dg_u
+are cheap elementwise reductions outside.  Like the forward it never
+materializes the [B, N, Lq, inner] local-attention tensor the XLA einsum
+path stores for its backward — the win that lets the optimization chain
+batch higher at large N·B.  The XLA path stays the permanent correctness
+oracle (interpret-mode tests check every cotangent against jax.grad of it).
 
 Contexts are padded to LK_PAD=128 keys (true length 77); padded keys are
 masked to −∞ before each softmax.  Head dim stays unpadded — Mosaic pads
@@ -142,6 +146,171 @@ def _xla_reference(q_c, g_u, kc, vc, lk, lv, masks, coef, num_heads):
     return g_c + blend - jnp.sum(w, axis=1)[..., None].astype(g_u.dtype) * g_u
 
 
+def _bwd_kernel(coef_ref, q_ref, gu_ref, kc_ref, vc_ref, lk_ref, lv_ref,
+                m_ref, g_ref,
+                dq_ref, dkc_ref, dvc_ref, dlk_ref, dlv_ref, t_ref,
+                *, num_objects: int, kv_len: int, scale: float):
+    """Grid: (B, H, Lq // blk_q) — i innermost, so the dk/dv blocks (indexed
+    by (b, h) only) stay resident in VMEM and accumulate across query
+    blocks; they are zero-initialized at i == 0.
+
+    Emits per-block:
+      dq  [1,1,blk_q,dh]         (global + Σ_n local attention backwards)
+      dkc/dvc [1,1,LK_PAD,dh]    (accumulated over i)
+      dlk/dlv [1,N,1,LK_PAD,dh]  (accumulated over i)
+      t   [1,1,N,blk_q]          T_n[q] = (loc_n[q] − g_u[q])·ḡ[q] per head
+    dcoef, dmasks, dg_u are cheap reductions of t/masks/coef OUTSIDE.
+    """
+    b = pl.program_id(0)
+    i = pl.program_id(2)
+    q = q_ref[0, 0].astype(jnp.float32)            # [blk_q, dh]
+    gbar = g_ref[0, 0].astype(jnp.float32)         # [blk_q, dh] cotangent
+    gu = gu_ref[0, 0].astype(jnp.float32)
+    blk_q = q.shape[0]
+
+    kv_mask = (
+        jax.lax.broadcasted_iota(jnp.int32, (blk_q, LK_PAD), 1) < kv_len
+    )
+
+    @pl.when(i == 0)
+    def _init():
+        dkc_ref[...] = jnp.zeros_like(dkc_ref)
+        dvc_ref[...] = jnp.zeros_like(dvc_ref)
+        dlk_ref[...] = jnp.zeros_like(dlk_ref)
+        dlv_ref[...] = jnp.zeros_like(dlv_ref)
+
+    def probs(k):
+        s = jax.lax.dot_general(
+            q, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s = jnp.where(kv_mask, s, NEG_INF)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        return p / jnp.sum(p, axis=-1, keepdims=True)   # [blk_q, LK_PAD]
+
+    def attn_bwd(k, v, dout):
+        """Standard softmax-attention backward for one context.
+        Returns (dq_partial, dk, dv, out) — out = p·v reused for T."""
+        p = probs(k)
+        out = jax.lax.dot_general(
+            p, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [blk_q, dh]
+        dv = jax.lax.dot_general(
+            p, dout, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [LK_PAD, dh]
+        dp = jax.lax.dot_general(
+            dout, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [blk_q, LK_PAD]
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq = jax.lax.dot_general(
+            ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [blk_q, dh]
+        dk = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [LK_PAD, dh]
+        return dq, dk, dv, out
+
+    # global conditional attention: dout = ḡ
+    dq, dkc, dvc, _ = attn_bwd(kc_ref[0, 0], vc_ref[0, 0], gbar)
+    dkc_ref[0, 0] += dkc.astype(dkc_ref.dtype)
+    dvc_ref[0, 0] += dvc.astype(dvc_ref.dtype)
+
+    for n in range(num_objects):
+        w = (m_ref[0, n].astype(jnp.float32) * coef_ref[b, n])[:, None]
+        dq_n, dk_n, dv_n, loc_n = attn_bwd(
+            lk_ref[0, n, 0], lv_ref[0, n, 0], w * gbar)
+        dq = dq + dq_n
+        dlk_ref[0, n, 0] += dk_n.astype(dlk_ref.dtype)
+        dlv_ref[0, n, 0] += dv_n.astype(dlv_ref.dtype)
+        # T_n[q] = (loc_n − g_u)·ḡ per query (head-partial; summed outside)
+        t_ref[0, 0, n] = jnp.sum((loc_n - gu) * gbar, axis=-1).astype(
+            t_ref.dtype)
+
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+
+
+def _backward(q_c, g_u, kc, vc, lk, lv, masks, coef, num_heads, g,
+              interpret=False):
+    """Fused backward.  Returns cotangents for every primal input."""
+    B, Lq, inner = q_c.shape
+    N = lk.shape[1]
+    kv_len = kc.shape[1]
+    dh = inner // num_heads
+    scale = dh ** -0.5
+    blk_q = min(Lq, 512)
+
+    def heads(x):
+        return jnp.swapaxes(x.reshape(B, -1, num_heads, dh), 1, 2)
+
+    qh, guh, gh = heads(q_c), heads(g_u), heads(g)
+    kch, vch = _pad_kv(heads(kc)), _pad_kv(heads(vc))
+    lkh = _pad_kv(jnp.swapaxes(lk.reshape(B, N, -1, num_heads, dh), 2, 3))
+    lvh = _pad_kv(jnp.swapaxes(lv.reshape(B, N, -1, num_heads, dh), 2, 3))
+
+    grid = (B, num_heads, Lq // blk_q)
+    f32 = jnp.float32
+    out_shapes = (
+        jax.ShapeDtypeStruct(qh.shape, f32),                       # dq
+        jax.ShapeDtypeStruct(kch.shape, f32),                      # dkc
+        jax.ShapeDtypeStruct(vch.shape, f32),                      # dvc
+        jax.ShapeDtypeStruct(lkh.shape, f32),                      # dlk
+        jax.ShapeDtypeStruct(lvh.shape, f32),                      # dlv
+        jax.ShapeDtypeStruct((B, num_heads, N, Lq), f32),          # t
+    )
+    dq, dkc, dvc, dlk, dlv, t = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel, num_objects=N, kv_len=kv_len, scale=scale
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, N), lambda b, h, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, blk_q, dh), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, blk_q, dh), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, LK_PAD, dh), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, LK_PAD, dh), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((1, N, 1, LK_PAD, dh), lambda b, h, i: (b, 0, h, 0, 0)),
+            pl.BlockSpec((1, N, 1, LK_PAD, dh), lambda b, h, i: (b, 0, h, 0, 0)),
+            pl.BlockSpec((1, N, blk_q), lambda b, h, i: (b, 0, i)),
+            pl.BlockSpec((1, 1, blk_q, dh), lambda b, h, i: (b, h, i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, blk_q, dh), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, LK_PAD, dh), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, LK_PAD, dh), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((1, N, 1, LK_PAD, dh), lambda b, h, i: (b, 0, h, 0, 0)),
+            pl.BlockSpec((1, N, 1, LK_PAD, dh), lambda b, h, i: (b, 0, h, 0, 0)),
+            pl.BlockSpec((1, 1, N, blk_q), lambda b, h, i: (b, h, 0, i)),
+        ),
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(coef.astype(jnp.float32), qh, guh, kch, vch, lkh, lvh,
+      masks.astype(q_c.dtype), gh)
+
+    def unheads(x, L):
+        return jnp.swapaxes(x, 1, 2).reshape(B, L, inner)
+
+    def unheads_local(x, L):
+        # [B, N, H, LK_PAD, dh] → [B, N, L, inner]
+        return jnp.swapaxes(x, 2, 3)[..., :L, :, :].reshape(B, N, L, inner)
+
+    dq_c = unheads(dq, Lq).astype(q_c.dtype)
+    dkc_o = unheads(dkc, LK_PAD)[:, :kv_len].astype(kc.dtype)
+    dvc_o = unheads(dvc, LK_PAD)[:, :kv_len].astype(vc.dtype)
+    dlk_o = unheads_local(dlk, kv_len).astype(lk.dtype)
+    dlv_o = unheads_local(dlv, kv_len).astype(lv.dtype)
+
+    # elementwise epilogues (tiny; fused by XLA):
+    t_sum = jnp.sum(t, axis=1)                                   # [B, N, Lq]
+    w = masks.astype(f32) * coef[..., None].astype(f32)          # [B, N, Lq]
+    # dg_u = −(Σ_n w_n)[q] · ḡ[q]
+    dg_u = (-jnp.sum(w, axis=1)[..., None] * g.astype(f32)).astype(g_u.dtype)
+    dmasks = (coef[..., None].astype(f32) * t_sum).astype(masks.dtype)
+    dcoef = jnp.sum(masks.astype(f32) * t_sum, axis=-1).astype(coef.dtype)
+    return dq_c, dg_u, dkc_o, dvc_o, dlk_o, dlv_o, dmasks, dcoef
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
 def fused_spacetime_attention(q_c, g_u, kc, vc, lk, lv, masks, coef, num_heads):
     return _forward(q_c, g_u, kc, vc, lk, lv, masks, coef, num_heads)
@@ -154,11 +323,7 @@ def _fwd(q_c, g_u, kc, vc, lk, lv, masks, coef, num_heads):
 
 def _bwd(num_heads, res, g):
     q_c, g_u, kc, vc, lk, lv, masks, coef = res
-    _, vjp = jax.vjp(
-        lambda *a: _xla_reference(*a, num_heads), q_c, g_u, kc, vc, lk, lv,
-        masks, coef,
-    )
-    return vjp(g)
+    return _backward(q_c, g_u, kc, vc, lk, lv, masks, coef, num_heads, g)
 
 
 fused_spacetime_attention.defvjp(_fwd, _bwd)

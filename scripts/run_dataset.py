@@ -47,6 +47,10 @@ def main():
         "--batch-size", type=int, default=1,
         help=">1 packs prompts into fixed-shape device batches (one compile)",
     )
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny model configs (protocol smoke / CPU tests)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force CPU (the axon TPU plugin ignores JAX_PLATFORMS)")
     args = ap.parse_args()
 
     import jax
@@ -54,6 +58,8 @@ def main():
     from diffusion_spacetime_attn_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from diffusion_spacetime_attn_tpu.config import (
@@ -91,12 +97,37 @@ def main():
         )
 
     use_flash = (args.mode == "spacetime") if args.flash is None else args.flash
-    cfg = PipelineConfig(
-        unet=UNetConfig(dtype=args.dtype, use_flash=use_flash,
-                        attn_scores_dtype=args.scores_dtype),
-        vae=VAEConfig(dtype=args.dtype),
-        spacetime=SpaceTimeConfig(num_steps=args.steps),
-    )
+    if args.tiny:
+        from diffusion_spacetime_attn_tpu.config import (
+            CLIPConfig,
+            CLIPTextConfig,
+            CLIPVisionConfig,
+        )
+
+        cfg = PipelineConfig(
+            unet=UNetConfig(model_channels=32, channel_mult=(1, 2),
+                            num_res_blocks=1, attention_resolutions=(1, 2),
+                            num_heads=2, context_dim=16),
+            vae=VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1),
+            text_encoder=CLIPTextConfig(width=16, layers=2, heads=2,
+                                        vocab_size=49408, max_len=7),
+            loss_clip=CLIPConfig(
+                vision=CLIPVisionConfig(image_size=14, patch_size=7, width=16,
+                                        layers=2, heads=2, projection_dim=8),
+                text=CLIPTextConfig(width=16, layers=2, heads=2,
+                                    vocab_size=49408, max_len=7),
+                projection_dim=8,
+            ),
+            spacetime=SpaceTimeConfig(num_steps=args.steps, latent_size=16,
+                                      image_size=32, epochs=2),
+        )
+    else:
+        cfg = PipelineConfig(
+            unet=UNetConfig(dtype=args.dtype, use_flash=use_flash,
+                            attn_scores_dtype=args.scores_dtype),
+            vae=VAEConfig(dtype=args.dtype),
+            spacetime=SpaceTimeConfig(num_steps=args.steps),
+        )
     sd = load_stable_diffusion(cfg, args.ckpt)
     clip_loss = None
     if args.mode == "spacetime":
@@ -111,18 +142,21 @@ def main():
             clip_params = randomize_params(
                 jax.eval_shape(
                     clip_model.init, jax.random.PRNGKey(0),
-                    jnp.zeros((1, 224, 224, 3)), jnp.zeros((1, 77), jnp.int32),
+                    jnp.zeros((1, clip_model.cfg.vision.image_size,
+                               clip_model.cfg.vision.image_size, 3)),
+                    jnp.zeros((1, clip_model.cfg.text.max_len), jnp.int32),
                 )["params"],
                 jax.random.PRNGKey(9),
             )
         clip_loss = DCLIPLoss(clip_model, clip_params)
-    lcfg = LayoutConfig()
+    lcfg = (LayoutConfig(hidden=32, layers=2, heads=2, ffn_dim=64, max_len=32)
+            if args.tiny else LayoutConfig())
     lmodel, lparams = load_layout_predictor(lcfg, args.layout_ckpt)
     layout = LayoutInference(lmodel, lparams, make_roberta_tokenizer(), lcfg.max_len)
-    ctok = make_clip_tokenizer(args.clip_vocab)
+    ctok = make_clip_tokenizer(args.clip_vocab, max_len=cfg.text_encoder.max_len)
     tokenize = (
         ctok.tokenize if hasattr(ctok, "tokenize")
-        else (lambda t: ctok.pad_to(ctok.encode(t), 77))
+        else (lambda t: ctok.pad_to(ctok.encode(t), cfg.text_encoder.max_len))
     )
     runner = PromptRunner(
         sd=sd, clip_loss=clip_loss, layout=layout,

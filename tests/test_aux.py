@@ -167,3 +167,71 @@ def test_bsrgan_light_degradation():
     assert rec["image"].min() >= -1.0 and rec["image"].max() <= 1.0
     clean = superres_example(img, size=64, sf=4, degradation="bicubic")
     assert np.abs(rec["LR_image"] - clean["LR_image"]).mean() > 1e-3
+
+
+def test_diffusers_safety_checker_faithful():
+    """`DiffusersSafetyChecker.from_checkpoint` on a synthesized
+    diffusers-named state dict must reproduce the diffusers scoring formula
+    (torch oracle replicated here) bit-for-decision."""
+    import torch
+
+    from transformers import CLIPVisionConfig as HFVCfg, CLIPVisionModel
+
+    from diffusion_spacetime_attn_tpu.config import CLIPVisionConfig
+    from diffusion_spacetime_attn_tpu.pipeline.safety import (
+        CLIP_IMAGE_MEAN,
+        CLIP_IMAGE_STD,
+        DiffusersSafetyChecker,
+    )
+
+    hf_cfg = HFVCfg(hidden_size=32, intermediate_size=128, num_hidden_layers=2,
+                    num_attention_heads=2, image_size=28, patch_size=14,
+                    hidden_act="quick_gelu")
+    torch.manual_seed(5)
+    hf = CLIPVisionModel(hf_cfg).eval()
+    proj = torch.nn.Linear(32, 8, bias=False)
+    rng = np.random.RandomState(6)
+    concepts = rng.randn(4, 8).astype(np.float32)
+    specials = rng.randn(2, 8).astype(np.float32)
+    concept_w = np.full(4, 0.5, np.float32)
+    special_w = np.full(2, 0.6, np.float32)
+
+    state = {f"vision_model.vision_model.{k}": v.detach().numpy()
+             for k, v in hf.vision_model.state_dict().items()}
+    state["visual_projection.weight"] = proj.weight.detach().numpy()
+    state["concept_embeds"] = concepts
+    state["special_care_embeds"] = specials
+    state["concept_embeds_weights"] = concept_w
+    state["special_care_embeds_weights"] = special_w
+
+    cfg = CLIPVisionConfig(image_size=28, patch_size=14, width=32, layers=2,
+                           heads=2, projection_dim=8)
+    checker = DiffusersSafetyChecker.from_checkpoint(state, cfg=cfg)
+
+    imgs = rng.rand(3, 28, 28, 3).astype(np.float32)  # tower size: no resize
+    out, flags = checker(jnp.asarray(imgs))
+
+    # torch oracle (diffusers safety_checker.py forward)
+    px = (imgs - CLIP_IMAGE_MEAN) / CLIP_IMAGE_STD
+    with torch.no_grad():
+        pooled = hf(torch.from_numpy(px.transpose(0, 3, 1, 2))).pooler_output
+        emb = proj(pooled)
+        embn = emb / emb.norm(dim=-1, keepdim=True)
+        cn = torch.from_numpy(concepts)
+        cn = cn / cn.norm(dim=-1, keepdim=True)
+        sn = torch.from_numpy(specials)
+        sn = sn / sn.norm(dim=-1, keepdim=True)
+        ss = embn @ sn.T - torch.from_numpy(special_w)
+        adj = (ss > 0).any(-1).float()[:, None] * 0.01
+        cs = embn @ cn.T - torch.from_numpy(concept_w) + adj
+        expect_flags = (cs > 0).any(-1).numpy()
+
+    np.testing.assert_array_equal(flags, expect_flags)
+    got_emb = np.asarray(checker.image_embeds(jnp.asarray(imgs)))
+    np.testing.assert_allclose(got_emb, emb.numpy(), atol=2e-4)
+    # flagged rows are black, clean rows untouched
+    for i, f in enumerate(flags):
+        if f:
+            assert float(np.abs(np.asarray(out[i])).max()) == 0.0
+        else:
+            np.testing.assert_array_equal(np.asarray(out[i]), imgs[i])

@@ -34,14 +34,41 @@ def test_kernel_multi_batch_heads():
     np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=2e-5)
 
 
+def test_fused_backward_all_cotangents_match_xla():
+    """The fused Pallas backward kernel must reproduce EVERY cotangent of
+    the XLA oracle (dq, dg_u, dkc, dvc, dlk, dlv, dmasks, dcoef) — it is the
+    production backward of the optimization chain."""
+    from diffusion_spacetime_attn_tpu.ops import pallas_spacetime as ps
+
+    for kwargs in (dict(Lq=512, seed=2),
+                   dict(B=2, N=2, Lq=1024, inner=80, heads=8, seed=3)):
+        heads = kwargs.pop("heads", 4)
+        args = make_inputs(**kwargs)
+        out = ps._xla_reference(*args, heads)
+        g = jnp.array(np.random.RandomState(9).randn(*out.shape),
+                      jnp.float32) * 0.1
+
+        _, vjp = jax.vjp(lambda *a: ps._xla_reference(*a, heads), *args)
+        expect = vjp(g)
+        got = ps._backward(*args, heads, g, interpret=True)
+        names = ["dq_c", "dg_u", "dkc", "dvc", "dlk", "dlv", "dmasks", "dcoef"]
+        for name, a, b in zip(names, got, expect):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-3,
+                err_msg=f"{name} mismatch ({kwargs})")
+
+
 def test_vjp_grads_match_xla():
+    """End-to-end custom_vjp: jax.grad through the fused op (interpret
+    forward + interpret backward) equals jax.grad through the oracle."""
     from diffusion_spacetime_attn_tpu.ops import pallas_spacetime as ps
 
     args = make_inputs(Lq=512, seed=2)
 
-    # patch forward to interpret mode for CPU
-    orig = ps._forward
-    ps._forward = lambda *a, **k: orig(*a, interpret=True, **{kk: vv for kk, vv in k.items() if kk != "interpret"})
+    # patch both passes to interpret mode for CPU
+    orig_f, orig_b = ps._forward, ps._backward
+    ps._forward = lambda *a, **k: orig_f(*a, interpret=True)
+    ps._backward = lambda *a, **k: orig_b(*a, interpret=True)
     try:
         def loss_fused(q, coef):
             out = ps.fused_spacetime_attention(
@@ -60,4 +87,4 @@ def test_vjp_grads_match_xla():
         np.testing.assert_allclose(np.asarray(gq1), np.asarray(gq2), atol=1e-3, rtol=1e-3)
         np.testing.assert_allclose(np.asarray(gc1), np.asarray(gc2), atol=1e-3, rtol=1e-3)
     finally:
-        ps._forward = orig
+        ps._forward, ps._backward = orig_f, orig_b

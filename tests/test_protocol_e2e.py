@@ -1,0 +1,103 @@
+"""Full user-facing protocol, end to end: `run_dataset.py --mode spacetime`
+→ final PNGs (reference naming) → synthetic detections JSON →
+`scripts/evaluate.py` → recall/relation values matching hand-computed
+expectations (`detector_result_gpt.py:95-166`, `relation_result_gpt.py`).
+
+This pins the whole loop, not just the unit math: prompt parsing ([10:]
+slice), layout frontend, spacetime optimization, image writing/naming,
+manifest resume bookkeeping, detections ingestion, and the two protocol
+metrics."""
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+GPT_TXT = """Objects: big dog, small cat
+Relation: big dog left of small cat
+Sentence: a big dog left of a small cat
+
+Objects: person, dog
+Relation: person above dog
+Sentence: a person above a dog
+
+"""
+
+
+@pytest.fixture(scope="module")
+def sweep(tmp_path_factory):
+    root = tmp_path_factory.mktemp("proto")
+    (root / "gpt.txt").write_text(GPT_TXT)
+    out = root / "results"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "scripts/run_dataset.py", "--dataset", "gpt",
+         "--data-root", str(root), "--mode", "spacetime", "--tiny", "--cpu",
+         "--steps", "2", "--end", "2", "--outdir", str(out), "--sampler",
+         "dpm"],
+        capture_output=True, text=True, timeout=900, cwd=REPO, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    return root, out
+
+
+def test_sweep_writes_reference_named_pngs_and_manifest(sweep):
+    root, out = sweep
+    # tiny config runs epochs=2 → saved at epoch index 1 (reference saves at
+    # its final epoch, `plms.py:280-288`)
+    files = sorted(f for f in os.listdir(out) if f.endswith(".png"))
+    assert files == ["final1_s1_index_0.png", "final1_s1_index_1.png"]
+    manifest = json.load(open(out / "manifest_gpt.json"))
+    assert manifest["done"] == [0, 1]
+    from PIL import Image
+
+    img = Image.open(out / files[0])
+    assert img.size == (32, 32)
+
+
+def test_evaluate_protocol_values_match_hand_computation(sweep):
+    root, out = sweep
+    files = sorted(f for f in os.listdir(out) if f.endswith(".png"))
+    # hand-constructed detections:
+    #  image 0: dog center x=20 < cat center x=70 → "dog left of cat" PASSES;
+    #           both conf ≥ 0.5 → recall 2/2, relation 1/1
+    #  image 1: person conf 0.45 — counts for recall (conf 0.4) but is
+    #           FILTERED from the relation check (conf 0.5) → recall 2/2,
+    #           relation 0/1 (person missing at conf 0.5)
+    dets = {
+        files[0]: [[10, 10, 30, 30, "dog", 0.9],
+                   [60, 10, 80, 30, "cat", 0.8]],
+        files[1]: [[10, 50, 30, 70, "person", 0.45],
+                   [10, 5, 30, 25, "dog", 0.9]],
+    }
+    det_path = root / "detections.json"
+    det_path.write_text(json.dumps(dets))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "scripts/evaluate.py", "--results", str(out),
+         "--dataset", "gpt", "--data-root", str(root),
+         "--detections", str(det_path)],
+        capture_output=True, text=True, timeout=300, cwd=REPO, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "All object numbers: 4" in r.stdout
+    assert "Generated object numbers: 4" in r.stdout
+    assert "object recall: 1.0000" in r.stdout
+    assert "relation accuracy: 0.5000 (1/2)" in r.stdout
+
+
+def test_resume_skips_completed(sweep):
+    root, out = sweep
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "scripts/run_dataset.py", "--dataset", "gpt",
+         "--data-root", str(root), "--mode", "spacetime", "--tiny", "--cpu",
+         "--steps", "2", "--end", "2", "--outdir", str(out), "--resume",
+         "--sampler", "dpm"],
+        capture_output=True, text=True, timeout=300, cwd=REPO, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "resuming: 2 prompts already complete" in r.stdout
