@@ -35,7 +35,7 @@ METHOD_EPOCHS = 3  # reference `plms.py:220`
 
 def bench_once(mode, sampler, steps, batch, dtype, flash, q_chunk,
                scores_dtype, fused_control, params_dtype, iters,
-               num_objects=4):
+               num_objects=4, remat="true"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -100,12 +100,14 @@ def bench_once(mode, sampler, steps, batch, dtype, flash, q_chunk,
     params = (sd.unet_params, sd.vae_params)
     jax.block_until_ready(params)
 
+    remat_val = {"true": True, "false": False}.get(remat, remat)
     if mode == "spacetime":
         def run(ps, rng_key, coef):
             s = dc.replace(sd, unet_params=ps[0], vae_params=ps[1])
             eps_fn = s.make_eps_fn(cond, uncond, 7.5, control, coef)
             z = s.sample_from(eps_fn, jax.random.normal(
-                rng_key, (B, 64, 64, 4), jnp.float32), sampler, remat=True)
+                rng_key, (B, 64, 64, 4), jnp.float32), sampler,
+                remat=remat_val)
             img = s.decode_latents(z)
             return jnp.sum(img)
 
@@ -194,6 +196,10 @@ def main():
     ap.add_argument("--params-dtype", default="float32", help="cast params (e.g. bfloat16)")
     ap.add_argument("--objects", type=int, default=4,
                     help="controlled objects N (spatial/spacetime modes)")
+    ap.add_argument("--remat", default="true",
+                    help="spacetime per-step remat: true | false | dots | "
+                         "dots_nb (selective policies trade HBM for faster "
+                         "backward)")
     ap.add_argument("--sampler", choices=["plms", "ddim", "dpm"], default=None,
                     help="(single-mode runs) default plms vanilla/spatial, "
                          "dpm spacetime")
@@ -214,7 +220,7 @@ def main():
             batch=batch or args.batch, dtype=args.dtype, flash=flash,
             q_chunk=args.q_chunk, scores_dtype=args.scores_dtype,
             fused_control=args.fused_control, params_dtype=args.params_dtype,
-            iters=args.iters, num_objects=args.objects,
+            iters=args.iters, num_objects=args.objects, remat=args.remat,
         )
 
     if args.mode is not None:

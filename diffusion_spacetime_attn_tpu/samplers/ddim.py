@@ -25,8 +25,9 @@ def ddim_sample(
     """mask/x0: inpainting — keep q_sample(x0, t) where mask==1 (reference
     `plms.py:232-235`).  start_step: skip the first noisy steps (img2img:
     caller provides a partially-noised x_T for timestep[start_step])."""
-    if remat:
-        eps_fn = jax.checkpoint(eps_fn)
+    from .remat import maybe_remat
+
+    eps_fn = maybe_remat(eps_fn, remat)
     S = sched.num_steps
     stochastic = rng is not None
     if rng is None:

@@ -35,8 +35,9 @@ def ddpm_sample(
 ) -> jnp.ndarray:
     """Full T-step ancestral sampling.  eps_fn(x, t, i) -> eps (the shared
     sampler interface; i is the loop position, t the DDPM timestep)."""
-    if remat:
-        eps_fn = jax.checkpoint(eps_fn)
+    from .remat import maybe_remat
+
+    eps_fn = maybe_remat(eps_fn, remat)
 
     betas = make_beta_schedule(schedule_cfg)
     T = betas.shape[0]

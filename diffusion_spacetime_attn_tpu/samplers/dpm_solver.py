@@ -28,8 +28,9 @@ def dpm_solver_sample(
 ) -> jnp.ndarray:
     if order not in (1, 2):
         raise ValueError("order must be 1 or 2")
-    if remat:
-        eps_fn = jax.checkpoint(eps_fn)
+    from .remat import maybe_remat
+
+    eps_fn = maybe_remat(eps_fn, remat)
 
     S = sched.num_steps
     # alpha/sigma/lambda at the current state (loop order) and at the target

@@ -41,8 +41,9 @@ def plms_sample(
 ) -> jnp.ndarray:
     """Run the full PLMS chain; differentiable w.r.t. anything eps_fn closes
     over (e.g. the [N, S] blend-weight matrix)."""
-    if remat:
-        eps_fn = jax.checkpoint(eps_fn)
+    from .remat import maybe_remat
+
+    eps_fn = maybe_remat(eps_fn, remat)
 
     S = sched.num_steps
     ts, ts_next = sched.timesteps, sched.timesteps_next

@@ -202,12 +202,28 @@ def main():
                 r = np.random.RandomState(i)
                 return (jnp.asarray(r.randn(B, latent_hw, latent_hw, 4), jnp.float32),
                         jnp.asarray(r.randn(B, *ctx_shape), jnp.float32))
+    elif args.conditioning == "class":
+        # ImageNet-style extracted tree (`ldm/data/imagenet.py` semantics):
+        # {data_dir}/{synset}/*.JPEG, class id = sorted-synset index
+        from diffusion_spacetime_attn_tpu.pipeline.pipeline import StableDiffusion
+        from diffusion_spacetime_attn_tpu.training.image_data import imagenet_tree
+
+        pipe_cfg = PipelineConfig(unet=unet_cfg, vae=VAEConfig(dtype=args.dtype))
+        sd = StableDiffusion.create(pipe_cfg, jax.random.PRNGKey(0))
+        encode_images = jax.jit(sd.encode_images)
+        ds = imagenet_tree(args.data_dir, size=latent_hw * 8)
+        it = ds.batches(B, seed=0)
+
+        def next_batch(i):
+            imgs, labels = next(it)
+            z = encode_images(jnp.asarray(imgs), jax.random.PRNGKey(i))
+            return z, jnp.asarray(labels[:, None], jnp.float32)
     else:
         if args.conditioning != "text":
             raise SystemExit(
-                f"--data-dir loading implements text conditioning; use "
-                f"--synthetic with --conditioning {args.conditioning} or add "
-                f"a loader for that mode")
+                f"--data-dir loading implements text and class conditioning; "
+                f"use --synthetic with --conditioning {args.conditioning} or "
+                f"add a loader for that mode")
         from PIL import Image
 
         from diffusion_spacetime_attn_tpu.pipeline.pipeline import StableDiffusion

@@ -17,6 +17,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data-dir", default=None)
+    ap.add_argument("--paths-txt", default=None,
+                    help="LSUN-style split file of relative image paths "
+                         "under --data-dir (ldm/data/lsun.py)")
+    ap.add_argument("--flip-p", type=float, default=0.5)
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--image-size", type=int, default=256)
     ap.add_argument("--steps", type=int, default=1000)
@@ -75,26 +79,32 @@ def main():
     state = trainer.init(jax.random.PRNGKey(0), image_hw=hw)
 
     B = args.batch_size * ndev  # per-device batch semantics (like train_ldm)
-    if args.synthetic or not args.data_dir:
+    if args.synthetic or not (args.data_dir or args.paths_txt):
         def next_batch(i):
             r = np.random.RandomState(i % 37)
             return jnp.asarray(r.rand(B, hw, hw, 3) * 2 - 1, jnp.float32)
     else:
-        from PIL import Image
-
-        files = sorted(
-            os.path.join(args.data_dir, f) for f in os.listdir(args.data_dir)
-            if f.lower().endswith((".png", ".jpg", ".jpeg", ".webp"))
+        # LSUN-style pipeline (`ldm/data/lsun.py` semantics): txt split or
+        # directory listing → center-crop/resize/flip → [-1, 1]
+        from diffusion_spacetime_attn_tpu.training.image_data import (
+            ImagePathsDataset,
+            lsun_split,
         )
 
+        if args.paths_txt:
+            ds = lsun_split(args.paths_txt, args.data_dir or ".", size=hw,
+                            flip_p=args.flip_p)
+        else:
+            files = sorted(
+                os.path.join(args.data_dir, f)
+                for f in os.listdir(args.data_dir)
+                if f.lower().endswith((".png", ".jpg", ".jpeg", ".webp"))
+            )
+            ds = ImagePathsDataset(paths=files, size=hw, flip_p=args.flip_p)
+        it = ds.batches(B, seed=0)
+
         def next_batch(i):
-            r = np.random.RandomState(i)
-            pick = [files[j] for j in r.randint(0, len(files), B)]
-            arr = np.stack([
-                np.asarray(Image.open(p).convert("RGB").resize((hw, hw)))
-                for p in pick
-            ]) / 127.5 - 1.0
-            return jnp.asarray(arr, jnp.float32)
+            return jnp.asarray(next(it)[0], jnp.float32)
 
     os.makedirs(args.ckpt_dir, exist_ok=True)
     jlog = JsonLogger(os.path.join(args.ckpt_dir, "metrics.jsonl"))

@@ -252,3 +252,52 @@ def test_optimizer_groups_split_encoder_decoder():
                            jax.tree_util.tree_leaves(after["encoder"])[0])
     np.testing.assert_array_equal(
         before["cls_head"]["kernel"], np.asarray(after["cls_head"]["kernel"]))
+
+
+def test_iou_calculator_matches_reference_semantics():
+    """`trainer/iou.py` oracle: hand-built boxes with known IoU."""
+    from diffusion_spacetime_attn_tpu.training.iou import (
+        IOUCalculator,
+        pairwise_iou_sum,
+        xcycwh_to_xyxy,
+    )
+
+    # two identical boxes → IoU 1; two disjoint → dropped (legal mask)
+    bb = np.array([[0, 0, 10, 10], [20, 20, 30, 30]], np.float64)
+    bb2 = np.array([[0, 0, 10, 10], [40, 40, 50, 50]], np.float64)
+    assert pairwise_iou_sum(bb, bb) == pytest.approx(2.0)
+    assert pairwise_iou_sum(bb, bb2) == pytest.approx(1.0)  # disjoint dropped
+    assert pairwise_iou_sum(bb[:1] + 100, bb2[:1]) == 0.0   # nothing legal
+
+    # half-overlap: [0,0,10,10] vs [5,0,15,10] → inter 50, union 150 → 1/3
+    a = np.array([[0, 0, 10, 10]], np.float64)
+    b = np.array([[5, 0, 15, 10]], np.float64)
+    assert pairwise_iou_sum(a, b) == pytest.approx(1 / 3)
+
+    # xcycwh→xyxy at the [800,600] canvas
+    out = xcycwh_to_xyxy(np.array([[0.5, 0.5, 0.25, 0.5]]))
+    np.testing.assert_allclose(out[0], [300, 150, 500, 450])
+
+    # val_iou: rows [1::2] + sentinel masking + de-standardization
+    calc = IOUCalculator(reduction="mean",
+                         sta_dict=dict(x_mean=0.5, x_std=0.1, y_mean=0.5,
+                                       y_std=0.1, w_mean=0.2, w_std=0.05,
+                                       h_mean=0.2, h_std=0.05))
+    pred = np.zeros((6, 4))
+    targ = np.zeros((6, 4))
+    pred[1] = targ[1] = [0.0, 0.0, 0.0, 0.0]     # standardized == mean box
+    pred[3] = targ[3] = [1.0, 1.0, 1.0, 1.0]     # mean+std box
+    targ[5] = [2.0, 2.0, 2.0, 2.0]               # sentinel → ignored
+    assert calc.val_iou(pred, targ, is_std=True) == pytest.approx(1.0)
+    # without std flag the zero boxes are degenerate → that pair contributes
+    # no legal overlap area; identical rows 3 give IoU 1 → mean over 3 kept?
+    # rows kept = [1,3,5]→ sentinel removes row 5 → 2 rows; row 1 boxes are
+    # zero-area (legal: x_right==x_left → inter 0, iou nan→ guard) —
+    # reference would produce nan/0; use well-formed rows instead:
+    pred2 = np.zeros((4, 4))
+    targ2 = np.zeros((4, 4))
+    pred2[1] = [0.5, 0.5, 0.2, 0.2]
+    targ2[1] = [0.5, 0.5, 0.2, 0.2]
+    pred2[3] = [0.2, 0.2, 0.1, 0.1]
+    targ2[3] = [0.8, 0.8, 0.1, 0.1]              # disjoint
+    assert calc.val_iou(pred2, targ2) == pytest.approx(0.5)  # (1+dropped)/2

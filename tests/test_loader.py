@@ -105,3 +105,56 @@ def test_checkpoint_roundtrip(tmp_path, monkeypatch):
         assert np.isfinite(np.asarray(img)).all()
     finally:
         sys.path.remove(REF_SD)
+
+
+def test_image_paths_dataset_lsun_semantics(tmp_path):
+    """`ldm/data/lsun.py` LSUNBase: txt split + center-crop + resize +
+    [-1,1] scaling; ImageNet tree loader labels by sorted synset."""
+    from PIL import Image
+
+    from diffusion_spacetime_attn_tpu.training.image_data import (
+        ImagePathsDataset,
+        imagenet_tree,
+        load_image,
+        lsun_split,
+    )
+
+    # non-square image: 40x20 → center crop 20 → resize 16
+    arr = np.zeros((20, 40, 3), np.uint8)
+    arr[:, 10:30] = 255  # the center crop region is all-white
+    p = tmp_path / "img.png"
+    Image.fromarray(arr).save(p)
+    out = load_image(str(p), 16)
+    assert out.shape == (16, 16, 3)
+    assert out.min() == 255  # crop kept only the white center
+
+    (tmp_path / "split.txt").write_text("img.png\nimg.png\n")
+    ds = lsun_split(str(tmp_path / "split.txt"), str(tmp_path), size=16,
+                    flip_p=0.0)
+    assert len(ds) == 2
+    ex = ds[0]
+    assert ex["image"].shape == (16, 16, 3)
+    assert ex["image"].dtype == np.float32
+    np.testing.assert_allclose(ex["image"].max(), 1.0)  # 255 → +1.0
+    assert ex["relative_file_path_"] == "img.png"
+
+    # batches: fixed shape, tail dropped
+    b = next(ds.batches(2, epochs=1))
+    assert b[0].shape == (2, 16, 16, 3) and b[1] is None
+
+    # imagenet tree: class ids by sorted synset
+    for syn, color in [("n02", 10), ("n01", 200)]:
+        d = tmp_path / "tree" / syn
+        d.mkdir(parents=True)
+        Image.fromarray(np.full((8, 8, 3), color, np.uint8)).save(d / "a.JPEG")
+    tree = imagenet_tree(str(tmp_path / "tree"), size=8, flip_p=0.0)
+    assert tree.labels == [0, 1]  # n01 sorts before n02
+    imgs, labels = next(tree.batches(2, epochs=1))
+    assert imgs.shape == (2, 8, 8, 3)
+    assert set(labels.tolist()) == {0, 1}
+
+    # flip determinism: flip_p=1 mirrors
+    ds_flip = ImagePathsDataset(paths=[str(p)], size=16, flip_p=1.0)
+    ds_noflip = ImagePathsDataset(paths=[str(p)], size=16, flip_p=0.0)
+    np.testing.assert_allclose(ds_flip[0]["image"],
+                               ds_noflip[0]["image"][:, ::-1])
