@@ -54,6 +54,10 @@ class TextToImageEngine:
     watermark: Optional[str] = None             # payload string or None
     prepare_host: Optional[Callable] = None     # prompt → dict | None (spatial)
     init_coef: Optional[float] = None           # default: cfg.spacetime.init_coef
+    mesh: Optional[object] = None               # jax.sharding.Mesh: shard the
+    # request batch over its 'data' axis (params replicated) — one server
+    # drives a whole slice instead of one chip; batch_size must divide by
+    # the data-axis size
     _generate: object = field(default=None, repr=False)
     _uncond_ids: object = field(default=None, repr=False)
 
@@ -111,7 +115,27 @@ class TextToImageEngine:
             # uint8 on device: 4× less host transfer than f32 over the tunnel
             return (img * 255.0 + 0.5).astype(jnp.uint8)
 
-        self._generate = jax.jit(generate)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            ndata = self.mesh.shape["data"]
+            if self.batch_size % ndata:
+                raise ValueError(
+                    f"batch_size {self.batch_size} not divisible by the "
+                    f"mesh data axis ({ndata})")
+            rep = NamedSharding(self.mesh, P())
+            row = NamedSharding(self.mesh, P("data"))
+            params_sh = jax.tree_util.tree_map(lambda _: rep,
+                                               (self.sd.unet_params,
+                                                self.sd.vae_params,
+                                                self.sd.text_params))
+            self._generate = jax.jit(
+                generate,
+                in_shardings=(params_sh, row, row, row, row, row, row),
+                out_shardings=row,
+            )
+        else:
+            self._generate = jax.jit(generate)
         self._uncond_ids = np.asarray(self.tokenize(""), np.int32)
 
     def warmup(self) -> float:

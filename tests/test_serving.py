@@ -274,3 +274,30 @@ def test_http_503_on_saturation(engine):
     assert "queue_depth" in h and "rejected" in h
     httpd.shutdown()
     svc.stop()
+
+
+def test_mesh_sharded_engine_matches_single(engine):
+    """One server over an 8-device data mesh: request batch sharded, params
+    replicated — outputs match the unsharded engine (±1 uint8 level)."""
+    from diffusion_spacetime_attn_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(data=8)
+    sharded = TextToImageEngine(
+        sd=engine.sd, tokenize=engine.tokenize, batch_size=8, sampler="ddim",
+    )
+    sharded_mesh = TextToImageEngine(
+        sd=engine.sd, tokenize=engine.tokenize, batch_size=8, sampler="ddim",
+        mesh=mesh,
+    )
+    prompts = [f"prompt {i}" for i in range(8)]
+    seeds = list(range(8))
+    a = sharded.generate_batch(prompts, seeds)
+    b = sharded_mesh.generate_batch(prompts, seeds)
+    # sharded reductions reorder float ops: allow 1 uint8 quantization level
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+    with pytest.raises(ValueError):
+        TextToImageEngine(sd=engine.sd, tokenize=engine.tokenize,
+                          batch_size=3, sampler="ddim", mesh=mesh)
