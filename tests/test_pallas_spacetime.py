@@ -88,3 +88,72 @@ def test_vjp_grads_match_xla():
         np.testing.assert_allclose(np.asarray(gc1), np.asarray(gc2), atol=1e-3, rtol=1e-3)
     finally:
         ps._forward, ps._backward = orig_f, orig_b
+
+
+def test_fused_control_through_sampling_chain():
+    """use_fused_control end-to-end (interpret kernels): forward latents and
+    grads-through-chain w.r.t. the coef schedule match the einsum path."""
+    import dataclasses
+
+    from diffusion_spacetime_attn_tpu.config import (
+        CLIPTextConfig,
+        PipelineConfig,
+        SpaceTimeConfig,
+        UNetConfig,
+        VAEConfig,
+    )
+    from diffusion_spacetime_attn_tpu.ops import pallas_spacetime as ps
+    from diffusion_spacetime_attn_tpu.ops.attention import SpatialControl
+    from diffusion_spacetime_attn_tpu.pipeline.pipeline import StableDiffusion
+    from diffusion_spacetime_attn_tpu.utils.testing import randomize_params
+
+    of, ob = ps._forward, ps._backward
+    ps._forward = lambda *a, **k: of(*a, interpret=True)
+    ps._backward = lambda *a, **k: ob(*a, interpret=True)
+    try:
+        def build(fused):
+            cfg = PipelineConfig(
+                unet=UNetConfig(model_channels=32, channel_mult=(1, 2),
+                                num_res_blocks=1, attention_resolutions=(1, 2),
+                                num_heads=2, context_dim=16,
+                                use_fused_control=fused),
+                vae=VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1),
+                text_encoder=CLIPTextConfig(width=16, layers=2, heads=2,
+                                            vocab_size=100, max_len=7),
+                spacetime=SpaceTimeConfig(num_steps=3, latent_size=16,
+                                          image_size=32, max_objects=2),
+            )
+            sd = StableDiffusion.create(cfg, jax.random.PRNGKey(0))
+            return dataclasses.replace(
+                sd,
+                unet_params=randomize_params(sd.unet_params,
+                                             jax.random.PRNGKey(1), scale=0.2),
+                vae_params=randomize_params(sd.vae_params, jax.random.PRNGKey(2)),
+                text_params=randomize_params(sd.text_params, jax.random.PRNGKey(3)),
+            )
+
+        sd_e, sd_f = build(False), build(True)
+        cond = sd_e.encode_text(jnp.array([[1, 5, 9, 3, 2, 0, 99]], jnp.int32))
+        uncond = sd_e.encode_text(jnp.array([[1, 2, 0, 0, 0, 0, 99]], jnp.int32))
+        r = np.random.RandomState(0)
+        B, N, S = 1, 2, 3
+        ctrl = SpatialControl(
+            local_contexts=jnp.array(r.randn(B, N, 7, 16), jnp.float32) * 0.1,
+            centers=jnp.array([[[0.3, 0.4], [0.7, 0.6]]], jnp.float32),
+            coef=jnp.full((B, N), 1.5), active=jnp.ones((B, N)))
+        coefs = jnp.full((B, N, S), 1.5)
+        xT = jax.random.normal(jax.random.PRNGKey(3), (B, 16, 16, 4))
+
+        def run(sd, c):
+            eps = sd.make_eps_fn(cond, uncond, 7.5, ctrl, c)
+            z = sd.sample_from(eps, xT, "plms", remat=True)
+            return jnp.sum(sd.decode_latents(z) ** 2)
+
+        ve, vf = run(sd_e, coefs), run(sd_f, coefs)
+        np.testing.assert_allclose(float(vf), float(ve), rtol=1e-4)
+        ge = jax.grad(lambda c: run(sd_e, c))(coefs)
+        gf = jax.grad(lambda c: run(sd_f, c))(coefs)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(ge),
+                                   rtol=5e-2, atol=1e-4)
+    finally:
+        ps._forward, ps._backward = of, ob
