@@ -130,6 +130,65 @@ def test_vae_full_config_decode_512(reference_path):
     np.testing.assert_allclose(got_m, moments[:, :4], atol=2e-4)
 
 
+def test_spacetime_controlled_attention_full_scale(reference_path):
+    """THE method core at PRODUCTION dims: reference `SpatialTransformer`
+    with objects (`attention.py:223-346`) at 320ch / 8 heads / d_head 40 /
+    ctx 768 / 64×64 (4096 query tokens) / 4 objects vs our controlled
+    SpatialTransformer with converted weights."""
+    import torch as _t
+
+    from ldm.modules.attention import SpatialTransformer as RefST
+
+    rng = np.random.RandomState(11)
+    B, N, L, ch, heads, hw, ctx_dim = 1, 4, 77, 320, 8, 64, 768
+
+    uncond_emb = rng.randn(1, L, ctx_dim).astype(np.float32)
+    locals_ = [rng.randn(1, L, ctx_dim).astype(np.float32) for _ in range(N)]
+    _t.save(_t.from_numpy(uncond_emb), "uncond_fix_radius_0p2_g0.pt")
+    for i, l in enumerate(locals_):
+        _t.save(_t.from_numpy(l), f"c{i}_fix_radius_0p2_g0.pt")
+
+    _t.manual_seed(11)
+    st = RefST(in_channels=ch, n_heads=heads, d_head=ch // heads,
+               depth=1, context_dim=ctx_dim).eval()
+    _randomize_zero_params(st, std=0.05)
+    st.transformer_blocks[0].uncond = _t.from_numpy(uncond_emb)
+
+    x = rng.randn(2 * B, ch, hw, hw).astype(np.float32) * 0.5
+    context = rng.randn(2 * B, L, ctx_dim).astype(np.float32)
+    centers = np.array([[0.3, 0.45], [0.7, 0.6], [0.2, 0.8], [0.9, 0.1]],
+                       np.float32)
+    coef = _t.tensor([1.7, 0.6, 1.1, 0.3])
+    with _t.no_grad():
+        expect = st(
+            _t.from_numpy(x), context=_t.from_numpy(context),
+            time=981, text_index=None, coef=coef,
+            bboxs_curr=[list(map(float, c)) for c in centers],
+        ).numpy()
+
+    from diffusion_spacetime_attn_tpu.models.layers import SpatialTransformer
+    from diffusion_spacetime_attn_tpu.ops.attention import SpatialControl
+
+    mine = SpatialTransformer(channels=ch, heads=heads, radius=0.2)
+    params = convert._spatial_transformer(
+        {f"m.{k}": v.float().numpy() for k, v in st.state_dict().items()}, "m"
+    )
+    control = SpatialControl(
+        local_contexts=jnp.array(np.stack([l[0] for l in locals_]))[None],
+        centers=jnp.array(centers)[None],
+        coef=jnp.array(coef.numpy())[None],
+        active=jnp.ones((B, N)),
+    )
+    got = mine.apply(
+        {"params": params},
+        jnp.array(np.transpose(x, (0, 2, 3, 1))),
+        jnp.array(context),
+        control,
+    )
+    got = np.transpose(np.asarray(got), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, expect, atol=5e-4)
+
+
 def test_clip_text_vit_l_full_parity():
     """transformers CLIPTextModel at the REAL ViT-L/14 text config (12L/768H,
     vocab 49408, 77 tokens — `encoders/modules.py:137-162`) vs our tower."""
