@@ -160,11 +160,9 @@ def bench_once(mode, sampler, steps, batch, dtype, flash, q_chunk,
         "baseline_assumed": GPU_REFERENCE_IMG_PER_MIN,
         **extra,
     }
-    import jax as _jax
-
     print(
         f"# {metric}: per-image {per_image:.3f}s, compile {compile_s:.1f}s, "
-        f"times {['%.3f' % t for t in times]}, device {_jax.devices()[0]}",
+        f"times {['%.3f' % t for t in times]}, device {jax.devices()[0]}",
         file=sys.stderr,
     )
     return line

@@ -93,15 +93,18 @@ class VGMSDNInference:
         os.makedirs(os.path.join(save_dir, "sg2im_json"), exist_ok=True)
 
     # ------------------------------------------------------------- device
-    def _predict_batch(self, batch_words, batch_mention_idx):
+    def _predict_batch(self, batch_words, batch_mention_idx, pad_to=None):
         """Pack B samples into one [B, L] call; returns per-sample [N, 2]
-        centers."""
+        centers.  pad_to: pad the batch dim to this fixed size so every
+        chunk reuses ONE compiled program (skipped empties would otherwise
+        shrink B per chunk and retrace)."""
         import jax.numpy as jnp
 
         L = self.li.max_len
         tok = self.li.tokenizer
-        tokens = np.full((len(batch_words), L), getattr(tok, "pad", 1), np.int32)
-        obj_pos = np.zeros((len(batch_words), L), np.float32)
+        B = max(pad_to or 0, len(batch_words))
+        tokens = np.full((B, L), getattr(tok, "pad", 1), np.int32)
+        obj_pos = np.zeros((B, L), np.float32)
         tok_idx: List[List[int]] = []
         for b, (words, mention) in enumerate(zip(batch_words, batch_mention_idx)):
             ids, align = tok.encode_with_alignment(words)
@@ -129,7 +132,13 @@ class VGMSDNInference:
             (centers[:, 0] - r) * W, (centers[:, 1] - r) * H,
             (centers[:, 0] + r) * W, (centers[:, 1] + r) * H,
         ], axis=1)
-        out = np.clip(out, 1.0, max(W, H) - 1)   # `draw_img` clamp (:250-251)
+        # per-axis clamp into the canvas (`draw_img` clamps, :250-251 — but
+        # against one dim only; with a non-square canvas that leaks boxes
+        # off-canvas, so clamp each axis to its own extent here)
+        out[:, 0] = np.clip(out[:, 0], 1.0, W - 1)
+        out[:, 2] = np.clip(out[:, 2], 1.0, W - 1)
+        out[:, 1] = np.clip(out[:, 1], 1.0, H - 1)
+        out[:, 3] = np.clip(out[:, 3], 1.0, H - 1)
         return out
 
     def _draw(self, image_id, idx, names, boxes_xyxy):
@@ -141,7 +150,10 @@ class VGMSDNInference:
         img = Image.new("RGB", (W, H), (200, 200, 200))  # grey canvas (:249)
         draw = ImageDraw.Draw(img)
         for i, (name, bb) in enumerate(zip(names, boxes_xyxy)):
-            color = _COLORS[(ord(name[0].lower()) - ord("a")) % len(_COLORS)]
+            # color keyed by first letter (`draw_img`, :255); dirty VG data
+            # can carry empty class names — fall back to the index
+            key = ord(name[0].lower()) - ord("a") if name else i
+            color = _COLORS[key % len(_COLORS)]
             draw.rectangle(list(map(float, bb)), outline=color, width=3)
             draw.text((float(bb[0]) + 3, float(bb[1]) + 3),
                       f"{name}[{i + 1}]", fill=color)
@@ -203,8 +215,15 @@ class VGMSDNInference:
             chunk = scene_graphs[start:start + batch]
             parsed = [scene_graph_to_words(sg) for sg in chunk]
             keep = [i for i, (_, m, _, _) in enumerate(parsed) if m]
+            if not keep:
+                for i, sg in enumerate(chunk):
+                    results.append({
+                        "image_id": sg.get("id", sg.get("image_id", start + i)),
+                        "skipped": "no objects"})
+                continue
             centers = self._predict_batch(
-                [parsed[i][0] for i in keep], [parsed[i][1] for i in keep])
+                [parsed[i][0] for i in keep], [parsed[i][1] for i in keep],
+                pad_to=batch)
             ci = iter(range(len(keep)))
             for i, sg in enumerate(chunk):
                 idx = start + i

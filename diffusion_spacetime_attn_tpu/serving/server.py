@@ -26,6 +26,7 @@ import queue
 import threading
 import time
 from concurrent.futures import Future
+from concurrent.futures import TimeoutError as _FuturesTimeout
 from dataclasses import dataclass, field
 from typing import Callable, List, Optional, Sequence
 
@@ -323,10 +324,14 @@ class BatchingService:
 
     def __init__(self, engine: TextToImageEngine, max_wait_s: float = 0.2,
                  max_queue: Optional[int] = None,
-                 request_timeout_s: Optional[float] = None):
+                 request_timeout_s: Optional[float] = None,
+                 batch_allowance_s: float = 120.0):
         self.engine = engine
         self.max_wait_s = max_wait_s
         self.request_timeout_s = request_timeout_s
+        # batch_allowance_s: extra client-side wait on top of the queue
+        # budget to cover ONE batch execution (spacetime b8 ≈ 34 s)
+        self.batch_allowance_s = batch_allowance_s
         maxsize = max_queue if max_queue is not None else 8 * engine.batch_size
         self._q: "queue.Queue[_Request]" = queue.Queue(maxsize=maxsize)
         self._stop = threading.Event()
@@ -458,16 +463,21 @@ def serve(service: BatchingService, host: str = "0.0.0.0", port: int = 8000,
                 except ServiceSaturated as e:
                     self._json(503, {"error": str(e), "retry_after_s": 1})
                     return
-                # end-to-end deadline: queue wait (bounded by the service's
-                # request_timeout_s) + one batch execution
-                deadline = (2.0 * service.request_timeout_s
-                            if service.request_timeout_s else None)
+                # end-to-end deadline = queue-wait budget (request_timeout_s,
+                # enforced by the worker) + batch-execution allowance.  The
+                # allowance must cover one full device batch (spacetime b8 is
+                # ~34 s), else requests 504 client-side while the device still
+                # computes — hence a separate, generous default.
+                deadline = None
+                if service.request_timeout_s:
+                    deadline = (service.request_timeout_s
+                                + service.batch_allowance_s)
                 img = fut.result(timeout=deadline)
                 self._json(200, {
                     "image": base64.b64encode(_png_bytes(img)).decode(),
                     "shape": list(img.shape),
                 })
-            except TimeoutError as e:
+            except (TimeoutError, _FuturesTimeout) as e:
                 self._json(504, {"error": f"timeout: {e}"})
             except Exception as e:
                 self._json(500, {"error": repr(e)})

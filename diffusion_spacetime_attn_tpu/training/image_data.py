@@ -129,7 +129,7 @@ def imagenet_tree(data_root: str, size: int = 256, flip_p: float = 0.5,
     paths, labels = [], []
     for cls, syn in enumerate(found):
         for f in sorted(os.listdir(os.path.join(data_root, syn))):
-            if f.lower().endswith(IMG_EXTS) or f.upper().endswith(".JPEG"):
+            if f.lower().endswith(IMG_EXTS):
                 paths.append(os.path.join(data_root, syn, f))
                 labels.append(cls)
     return ImagePathsDataset(paths=paths, size=size, flip_p=flip_p,

@@ -208,15 +208,22 @@ def main():
         from diffusion_spacetime_attn_tpu.pipeline.pipeline import StableDiffusion
         from diffusion_spacetime_attn_tpu.training.image_data import imagenet_tree
 
+        import dataclasses as _dc
+
         pipe_cfg = PipelineConfig(unet=unet_cfg, vae=VAEConfig(dtype=args.dtype))
         sd = StableDiffusion.create(pipe_cfg, jax.random.PRNGKey(0))
-        encode_images = jax.jit(sd.encode_images)
+        # params as jit ARGUMENTS (closing over them inlines them into the
+        # remote-compile request over the tunnel — see CLAUDE.md)
+        encode_images = jax.jit(
+            lambda vp, imgs, rng: _dc.replace(sd, vae_params=vp)
+            .encode_images(imgs, rng))
         ds = imagenet_tree(args.data_dir, size=latent_hw * 8)
         it = ds.batches(B, seed=0)
 
         def next_batch(i):
             imgs, labels = next(it)
-            z = encode_images(jnp.asarray(imgs), jax.random.PRNGKey(i))
+            z = encode_images(sd.vae_params, jnp.asarray(imgs),
+                              jax.random.PRNGKey(i))
             return z, jnp.asarray(labels[:, None], jnp.float32)
     else:
         if args.conditioning != "text":
@@ -236,10 +243,16 @@ def main():
             ctok.tokenize if hasattr(ctok, "tokenize")
             else (lambda t: ctok.pad_to(ctok.encode(t), 77))
         )
+        import dataclasses as _dc
+
         rows = [json.loads(l) for l in
                 open(os.path.join(args.data_dir, "captions.jsonl"))]
-        encode_images = jax.jit(sd.encode_images)
-        encode_text = jax.jit(sd.encode_text)
+        # params as jit ARGUMENTS (see CLAUDE.md: never close params over jit)
+        encode_images = jax.jit(
+            lambda vp, imgs, rng: _dc.replace(sd, vae_params=vp)
+            .encode_images(imgs, rng))
+        encode_text = jax.jit(
+            lambda tp, ids: _dc.replace(sd, text_params=tp).encode_text(ids))
 
         def next_batch(i):
             r = np.random.RandomState(i)
@@ -252,8 +265,9 @@ def main():
                 for p in pick
             ]).astype(np.float32)
             ids = np.stack([tokenize(p["text"]) for p in pick]).astype(np.int32)
-            z = encode_images(jnp.asarray(imgs), jax.random.PRNGKey(i))
-            ctx = encode_text(jnp.asarray(ids))
+            z = encode_images(sd.vae_params, jnp.asarray(imgs),
+                              jax.random.PRNGKey(i))
+            ctx = encode_text(sd.text_params, jnp.asarray(ids))
             return z, ctx
 
     # ---- loop ----
