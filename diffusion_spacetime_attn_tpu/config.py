@@ -67,6 +67,9 @@ class VAEConfig:
     attn_resolutions: Tuple[int, ...] = ()
     resolution: int = 256
     dtype: str = "float32"
+    # VQ variant (reference `VQModel`, `autoencoder.py:14-283`): codebook
+    # size; 0 for the KL model.  VQ-f4/f8 first stages use 8192/16384.
+    n_embed: int = 8192
 
 
 @dataclasses.dataclass(frozen=True)

@@ -163,3 +163,97 @@ class AutoencoderKL(nn.Module):
 
     def __call__(self, x, rng=None):
         return self.decode(self.encode(x, rng))
+
+
+class VectorQuantizer(nn.Module):
+    """taming-style nearest-neighbor codebook quantizer as used by the
+    reference `VQModel` (`ldm/models/autoencoder.py:39-41`; the quantizer
+    itself is external `taming.modules.vqvae.quantize.VectorQuantizer2`).
+
+    forward: z [B,h,w,C] → (z_q with straight-through gradients, emb_loss,
+    indices [B,h,w]).  emb_loss is the standard VQ-VAE objective with the
+    taming legacy=True weighting:
+        beta·mean((sg[z_q] − z)²) + mean((z_q − sg[z])²)
+    """
+
+    n_embed: int
+    embed_dim: int
+    beta: float = 0.25
+
+    @nn.compact
+    def __call__(self, z):
+        codebook = self.param(
+            "embedding",
+            # taming init: uniform(-1/n, 1/n)
+            lambda key, shape: jax.random.uniform(
+                key, shape, minval=-1.0 / self.n_embed,
+                maxval=1.0 / self.n_embed),
+            (self.n_embed, self.embed_dim),
+        )
+        flat = z.reshape(-1, self.embed_dim)
+        # ‖z − e‖² = ‖z‖² + ‖e‖² − 2 z·e  (argmin over codes, MXU matmul)
+        d = (
+            jnp.sum(flat ** 2, axis=1, keepdims=True)
+            + jnp.sum(codebook ** 2, axis=1)[None, :]
+            - 2.0 * flat @ codebook.T
+        )
+        idx = jnp.argmin(d, axis=1)
+        z_q = codebook[idx].reshape(z.shape)
+        loss = (
+            self.beta * jnp.mean((jax.lax.stop_gradient(z_q) - z) ** 2)
+            + jnp.mean((z_q - jax.lax.stop_gradient(z)) ** 2)
+        )
+        # straight-through estimator
+        z_q = z + jax.lax.stop_gradient(z_q - z)
+        return z_q, loss, idx.reshape(z.shape[:-1])
+
+    def embed_code(self, code):
+        """indices [B,h,w] → codebook vectors [B,h,w,C]
+        (`decode_code`, `autoencoder.py:117-120`)."""
+        codebook = self.variables["params"]["embedding"]
+        return codebook[code]
+
+
+class VQModel(nn.Module):
+    """Reference `VQModel` (`ldm/models/autoencoder.py:14-262`): the same
+    Encoder/Decoder stack with a vector-quantized bottleneck instead of the
+    KL gaussian.  `encode` returns (quant, emb_loss, indices); `decode`
+    takes quantized latents.  The z_channels config doubles as embed_dim
+    input to quant_conv exactly like the torch ctor.
+    """
+
+    cfg: VAEConfig
+
+    def setup(self):
+        self.encoder = Encoder(self.cfg)
+        self.decoder = Decoder(self.cfg)
+        dtype = jnp.dtype(self.cfg.dtype)
+        self.quantize = VectorQuantizer(self.cfg.n_embed, self.cfg.embed_dim)
+        self.quant_conv = nn.Conv(self.cfg.embed_dim, (1, 1), dtype=dtype)
+        self.post_quant_conv = nn.Conv(self.cfg.z_channels, (1, 1), dtype=dtype)
+
+    def encode_to_prequant(self, x):
+        return self.quant_conv(self.encoder(x))
+
+    def encode(self, x):
+        return self.quantize(self.encode_to_prequant(x))
+
+    def decode(self, quant):
+        return self.decoder(self.post_quant_conv(quant))
+
+    def decode_code(self, code):
+        return self.decode(self.quantize.embed_code(code))
+
+    def __call__(self, x):
+        quant, emb_loss, idx = self.encode(x)
+        return self.decode(quant), emb_loss, idx
+
+    # --- VQModelInterface semantics (`autoencoder.py:264-283`): the LDM
+    # first stage encodes to PRE-quant h and quantizes inside decode ---
+    def interface_encode(self, x):
+        return self.encode_to_prequant(x)
+
+    def interface_decode(self, h, force_not_quantize: bool = False):
+        if not force_not_quantize:
+            h, _, _ = self.quantize(h)
+        return self.decode(h)

@@ -232,6 +232,23 @@ def convert_sd_vae(
     }
 
 
+def convert_sd_vq(
+    sd: Dict[str, np.ndarray],
+    prefix: str = "first_stage_model.",
+    ch_mult=(1, 2, 4, 4),
+    num_res_blocks: int = 2,
+):
+    """Reference `VQModel` state dict (`autoencoder.py:14-283`: the KL
+    layout plus `quantize.embedding.weight` [n_embed, embed_dim]) →
+    models.vae.VQModel params."""
+    params = convert_sd_vae(sd, prefix=prefix, ch_mult=ch_mult,
+                            num_res_blocks=num_res_blocks)
+    stripped = {k[len(prefix):]: v for k, v in sd.items()
+                if k.startswith(prefix)}
+    params["quantize"] = {"embedding": stripped["quantize.embedding.weight"]}
+    return params
+
+
 # --------------------------------------------------------------------------
 # HF CLIP text model (transformers CLIPTextModel → models.clip.CLIPTextTower)
 # --------------------------------------------------------------------------
