@@ -235,12 +235,21 @@ class SpaceTimeEngine:
     runner: object                       # pipeline.runners.PromptRunner
     batch_size: int = 4
     watermark: Optional[str] = None
+    mesh: Optional[object] = None        # shard the request batch over the
+    # mesh's 'data' axis (params replicated or TP-sharded by the caller via
+    # parallel.sharding.shard_params) — one full-method server per slice
     _train_step: object = field(default=None, repr=False)
     _optimizer: object = field(default=None, repr=False)
 
     def __post_init__(self):
         from ..pipeline.spacetime import make_train_step
 
+        if self.mesh is not None:
+            ndata = self.mesh.shape["data"]
+            if self.batch_size % ndata:
+                raise ValueError(
+                    f"batch_size {self.batch_size} not divisible by the "
+                    f"mesh data axis ({ndata})")
         self._optimizer, self._train_step = make_train_step(
             self.runner.sd, self.runner.clip_loss, self.runner.cfg,
             sampler=self.runner.sampler,
@@ -284,6 +293,11 @@ class SpaceTimeEngine:
             for s in all_seeds
         ])
         inputs = inputs._replace(x_T=x_T)
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_batch
+
+            # batch axis on 'data'; GSPMD propagates through the jitted step
+            inputs = shard_batch(self.mesh, inputs)
         images, _, _ = optimize_prompt(
             self.runner.sd, self.runner.clip_loss, inputs, self.runner.cfg,
             sampler=self.runner.sampler, train_step=self._train_step,

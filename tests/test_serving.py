@@ -301,3 +301,52 @@ def test_mesh_sharded_engine_matches_single(engine):
     with pytest.raises(ValueError):
         TextToImageEngine(sd=engine.sd, tokenize=engine.tokenize,
                           batch_size=3, sampler="ddim", mesh=mesh)
+
+
+def test_spacetime_engine_mesh_sharded(engine):
+    """Full-method serving over an 8-device data mesh matches the unsharded
+    engine (same seeds, ±1 uint8 level)."""
+    from diffusion_spacetime_attn_tpu.config import CLIPConfig, CLIPVisionConfig
+    from diffusion_spacetime_attn_tpu.models.clip import CLIP
+    from diffusion_spacetime_attn_tpu.parallel.mesh import make_mesh
+    from diffusion_spacetime_attn_tpu.pipeline.losses import DCLIPLoss
+    from diffusion_spacetime_attn_tpu.pipeline.runners import PromptRunner
+    from diffusion_spacetime_attn_tpu.serving import SpaceTimeEngine
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    loss_cfg = CLIPConfig(
+        vision=dataclasses.replace(
+            CLIPVisionConfig(), image_size=14, patch_size=7, width=16,
+            layers=2, heads=2, projection_dim=8),
+        text=CLIPTextConfig(width=16, layers=2, heads=2, vocab_size=49408,
+                            max_len=7),
+        projection_dim=8,
+    )
+    clip_model = CLIP(loss_cfg)
+    clip_params = randomize_params(
+        clip_model.init(jax.random.PRNGKey(0), jnp.zeros((1, 14, 14, 3)),
+                        jnp.zeros((1, 7), jnp.int32))["params"],
+        jax.random.PRNGKey(1), 0.2)
+
+    def mk(mesh):
+        runner = PromptRunner(
+            sd=engine.sd,
+            clip_loss=DCLIPLoss(clip_model, clip_params),
+            layout=lambda p: _AnyCenter({"cat": (0.3, 0.6)}),
+            clip_tokenize=engine.tokenize,
+            text_tokenize=engine.tokenize,
+            cfg=dataclasses.replace(engine.sd.cfg.spacetime, epochs=2),
+            mode="spacetime",
+        )
+        return SpaceTimeEngine(runner=runner, batch_size=8, mesh=mesh)
+
+    prompts = [f"a cat {i}" for i in range(8)]
+    seeds = list(range(8))
+    a = mk(None).generate_batch(prompts, seeds)
+    b = mk(make_mesh(data=8)).generate_batch(prompts, seeds)
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+    with pytest.raises(ValueError):
+        mk_mesh = make_mesh(data=8)
+        SpaceTimeEngine(runner=mk(None).runner, batch_size=3, mesh=mk_mesh)
