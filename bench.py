@@ -33,6 +33,13 @@ import time
 
 GPU_REFERENCE_IMG_PER_MIN = 12.0
 METHOD_EPOCHS = 3  # reference `plms.py:220`
+# Assumed rate of the reference METHOD itself on its 48 GB GPU: 3 epochs ×
+# (51 CFG-pair UNet forwards ≈ one vanilla 50-step image ≈ 5 s, + a full
+# backward through the chain ≈ 2× forward) ≈ 45 s/optimized image ⇒ ~1.3
+# optimized img/min.  An assumption (the reference publishes nothing), but
+# the right denominator for the method lines — the vanilla baseline (12)
+# measures a different computation.
+GPU_REFERENCE_METHOD_IMG_PER_MIN = 1.3
 
 
 def bench_once(mode, sampler, steps, batch, dtype, flash, q_chunk,
@@ -148,6 +155,13 @@ def bench_once(mode, sampler, steps, batch, dtype, flash, q_chunk,
         extra = {
             "s_per_prompt_epoch": round(per_call_per_image, 3),
             "epochs": METHOD_EPOCHS,
+            # like-for-like: this rate vs the reference METHOD's assumed
+            # GPU rate (the top-level vs_baseline keeps the vanilla
+            # denominator for cross-line comparability)
+            "vs_method_baseline": round(
+                (60.0 / (per_call_per_image * METHOD_EPOCHS))
+                / GPU_REFERENCE_METHOD_IMG_PER_MIN, 3),
+            "method_baseline_assumed": GPU_REFERENCE_METHOD_IMG_PER_MIN,
         }
     else:
         per_image = per_call_per_image
