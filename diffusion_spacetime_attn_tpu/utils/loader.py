@@ -49,12 +49,18 @@ def load_stable_diffusion(
             text_params=jax.device_put(text_params),
         )
     if randomize_if_missing:
+        # ON-DEVICE generation (not host randomize_params): host numpy
+        # leaves are re-transferred through the tunnel on EVERY jitted call
+        # — measured ~330 s/prompt in the spacetime sweep vs seconds with
+        # committed device arrays.
+        from .testing import randomize_params_on_device
+
         r1, r2, r3 = jax.random.split(rng, 3)
         return dataclasses.replace(
             sd,
-            unet_params=randomize_params(sd.unet_params, r1),
-            vae_params=randomize_params(sd.vae_params, r2),
-            text_params=randomize_params(sd.text_params, r3),
+            unet_params=randomize_params_on_device(sd.unet_params, r1),
+            vae_params=randomize_params_on_device(sd.vae_params, r2),
+            text_params=randomize_params_on_device(sd.text_params, r3),
         )
     return sd
 

@@ -83,7 +83,9 @@ def main():
         load_stable_diffusion,
     )
     from diffusion_spacetime_attn_tpu.utils.profiling import JsonLogger
-    from diffusion_spacetime_attn_tpu.utils.testing import randomize_params
+    from diffusion_spacetime_attn_tpu.utils.testing import (
+        randomize_params_on_device,
+    )
     from diffusion_spacetime_attn_tpu.utils.tokenizer import (
         make_clip_tokenizer,
         make_roberta_tokenizer,
@@ -139,7 +141,9 @@ def main():
                 convert.load_torch_checkpoint(args.clip_ckpt)
             )
         else:
-            clip_params = randomize_params(
+            # on-device generation: host numpy params re-transfer through
+            # the tunnel on every jitted call (see utils/loader.py)
+            clip_params = randomize_params_on_device(
                 jax.eval_shape(
                     clip_model.init, jax.random.PRNGKey(0),
                     jnp.zeros((1, clip_model.cfg.vision.image_size,

@@ -136,7 +136,7 @@ def main():
             from diffusion_spacetime_attn_tpu.pipeline.losses import DCLIPLoss
             from diffusion_spacetime_attn_tpu.utils import convert
             from diffusion_spacetime_attn_tpu.utils.testing import (
-                randomize_params,
+                randomize_params_on_device,
             )
 
             clip_model = CLIP(cfg.loss_clip)
@@ -144,7 +144,8 @@ def main():
                 clip_params = convert.convert_openai_clip(
                     convert.load_torch_checkpoint(args.clip_ckpt))
             else:
-                clip_params = randomize_params(
+                # on-device: host numpy params re-transfer per call
+                clip_params = randomize_params_on_device(
                     jax.eval_shape(
                         clip_model.init, jax.random.PRNGKey(0),
                         jnp.zeros((1, clip_model.cfg.vision.image_size,
