@@ -81,7 +81,9 @@ def main():
         from diffusion_spacetime_attn_tpu.pipeline.losses import DCLIPLoss
         from diffusion_spacetime_attn_tpu.pipeline.runners import parse_gpt_prompts
         from diffusion_spacetime_attn_tpu.utils import convert
-        from diffusion_spacetime_attn_tpu.utils.testing import randomize_params
+        from diffusion_spacetime_attn_tpu.utils.testing import (
+            randomize_params_on_device,
+        )
         from diffusion_spacetime_attn_tpu.utils.tokenizer import make_clip_tokenizer
         import jax.numpy as jnp
 
@@ -93,7 +95,7 @@ def main():
             )
         else:
             print("WARNING: random CLIP weights — score is not meaningful")
-            params = randomize_params(
+            params = randomize_params_on_device(
                 jax.eval_shape(
                     clip_model.init, jax.random.PRNGKey(0),
                     jnp.zeros((1, 224, 224, 3)), jnp.zeros((1, 77), jnp.int32),

@@ -62,7 +62,9 @@ def main():
         load_layout_predictor,
         load_stable_diffusion,
     )
-    from diffusion_spacetime_attn_tpu.utils.testing import randomize_params
+    from diffusion_spacetime_attn_tpu.utils.testing import (
+        randomize_params_on_device,
+    )
     from diffusion_spacetime_attn_tpu.utils.tokenizer import (
         make_clip_tokenizer,
         make_roberta_tokenizer,
@@ -83,7 +85,8 @@ def main():
             convert.load_torch_checkpoint(args.clip_ckpt)
         )
     else:
-        clip_params = randomize_params(
+        # on-device: host numpy params re-transfer through the tunnel per call
+        clip_params = randomize_params_on_device(
             jax.eval_shape(
                 clip_model.init,
                 jax.random.PRNGKey(0),
