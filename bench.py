@@ -44,7 +44,7 @@ GPU_REFERENCE_METHOD_IMG_PER_MIN = 1.3
 
 def bench_once(mode, sampler, steps, batch, dtype, flash, q_chunk,
                scores_dtype, fused_control, params_dtype, iters,
-               num_objects=4, remat="true"):
+               num_objects=4, remat="true", mha=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -63,7 +63,7 @@ def bench_once(mode, sampler, steps, batch, dtype, flash, q_chunk,
     )
 
     cfg = PipelineConfig(
-        unet=UNetConfig(dtype=dtype, use_flash=flash,
+        unet=UNetConfig(dtype=dtype, use_flash=flash, use_mha=mha,
                         use_fused_control=fused_control,
                         attn_q_chunk=q_chunk,
                         attn_scores_dtype=scores_dtype),
@@ -201,6 +201,10 @@ def main():
                     help="splash self-attention; default ON in spacetime mode "
                          "(1.8x faster grad chain, batches to 8), OFF otherwise")
     ap.add_argument("--no-flash", dest="flash", action="store_false")
+    ap.add_argument("--mha", default=None, action="store_true",
+                    help="fused full-softmax Pallas MHA for self-attention "
+                         "(serving-path kernel; flash wins when both set)")
+    ap.add_argument("--no-mha", dest="mha", action="store_false")
     ap.add_argument("--q-chunk", type=int, default=0,
                     help=">0: query-chunked long self-attention (enables batch>7)")
     ap.add_argument("--scores-dtype", default="bfloat16",
@@ -229,12 +233,16 @@ def main():
         steps = steps or args.steps or (20 if mode == "spacetime" else 50)
         if flash is None:
             flash = args.flash if args.flash is not None else mode == "spacetime"
+        # fused MHA kernel: measured forward-path win (76.7 vs 74.2 img/min
+        # vanilla B8); the optimization chain keeps splash (fused backward)
+        mha = (mode != "spacetime") if args.mha is None else args.mha
         return bench_once(
             mode=mode, sampler=sampler, steps=steps,
             batch=batch or args.batch, dtype=args.dtype, flash=flash,
             q_chunk=args.q_chunk, scores_dtype=args.scores_dtype,
             fused_control=args.fused_control, params_dtype=args.params_dtype,
             iters=args.iters, num_objects=args.objects, remat=args.remat,
+            mha=mha,
         )
 
     if args.mode is not None:

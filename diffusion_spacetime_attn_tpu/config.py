@@ -35,6 +35,11 @@ class UNetConfig:
     dtype: str = "float32"
     # route long self-attention through the Pallas TPU flash kernel
     use_flash: bool = False
+    # route self-attention through the fused full-softmax Pallas MHA kernel
+    # (ops/pallas_mha.py): whole-K/V-in-VMEM, no online-softmax carries —
+    # the serving-path speed knob at SD head geometries (use_flash wins when
+    # both are set; the optimization chain needs splash's fused backward)
+    use_mha: bool = False
     # fuse the blended global+local cross-attention into one Pallas kernel
     use_fused_control: bool = False
     # >0: compute long self-attention in query chunks of this size (identical

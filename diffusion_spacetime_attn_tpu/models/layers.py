@@ -71,6 +71,7 @@ class CrossAttention(nn.Module):
     heads: int = 8
     dtype: jnp.dtype = jnp.float32
     flash: bool = False
+    mha: bool = False
     fused_control: bool = False
     q_chunk: int = 0
     scores_dtype: Optional[jnp.dtype] = None
@@ -87,8 +88,8 @@ class CrossAttention(nn.Module):
         q = self.to_q(x)
         k = self.to_k(context)
         v = self.to_v(context)
-        out = attention(q, k, v, self.heads, flash=self.flash, q_chunk=self.q_chunk,
-                        scores_dtype=self.scores_dtype)
+        out = attention(q, k, v, self.heads, flash=self.flash, mha=self.mha,
+                        q_chunk=self.q_chunk, scores_dtype=self.scores_dtype)
         return self.to_out(out)
 
     def controlled(self, x, context, control: Optional[SpatialControl], radius: float):
@@ -117,6 +118,7 @@ class BasicTransformerBlock(nn.Module):
     radius: float = 0.2
     dtype: jnp.dtype = jnp.float32
     flash: bool = False
+    mha: bool = False
     fused_control: bool = False
     q_chunk: int = 0
     scores_dtype: Optional[jnp.dtype] = None
@@ -125,7 +127,8 @@ class BasicTransformerBlock(nn.Module):
     def __call__(self, x, context=None, control: Optional[SpatialControl] = None):
         attn1 = CrossAttention(
             self.dim, heads=self.heads, dtype=self.dtype, flash=self.flash,
-            q_chunk=self.q_chunk, scores_dtype=self.scores_dtype, name="attn1",
+            mha=self.mha, q_chunk=self.q_chunk,
+            scores_dtype=self.scores_dtype, name="attn1",
         )
         # context=None → the second attention is self-attention, exactly the
         # reference's unconditional-LDM configuration (`attention.py:161`
@@ -137,6 +140,7 @@ class BasicTransformerBlock(nn.Module):
             heads=self.heads, dtype=self.dtype,
             fused_control=self.fused_control,
             flash=self.flash if context is None else False,
+            mha=self.mha if context is None else False,
             q_chunk=self.q_chunk if context is None else 0,
             scores_dtype=self.scores_dtype if context is None else None,
             name="attn2",
@@ -165,6 +169,7 @@ class SpatialTransformer(nn.Module):
     radius: float = 0.2
     dtype: jnp.dtype = jnp.float32
     flash: bool = False
+    mha: bool = False
     fused_control: bool = False
     q_chunk: int = 0
     scores_dtype: Optional[jnp.dtype] = None
@@ -178,7 +183,7 @@ class SpatialTransformer(nn.Module):
         for d in range(self.depth):
             h = BasicTransformerBlock(
                 self.channels, self.heads, radius=self.radius,
-                dtype=self.dtype, flash=self.flash,
+                dtype=self.dtype, flash=self.flash, mha=self.mha,
                 fused_control=self.fused_control, q_chunk=self.q_chunk,
                 scores_dtype=self.scores_dtype, name=f"block_{d}",
             )(h, context, control)

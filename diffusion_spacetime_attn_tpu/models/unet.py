@@ -73,6 +73,7 @@ class UNet(nn.Module):
                 radius=self.radius,
                 dtype=dtype,
                 flash=cfg.use_flash,
+                mha=cfg.use_mha,
                 fused_control=cfg.use_fused_control,
                 q_chunk=cfg.attn_q_chunk,
                 scores_dtype=(None if cfg.attn_scores_dtype == "float32"

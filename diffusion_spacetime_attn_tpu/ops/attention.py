@@ -111,12 +111,16 @@ def flash_attention(q, k, v, num_heads: int, interpret: bool = False):
 
 
 def attention(q, k, v, num_heads: int, *, out_dtype=None, flash: bool = False,
-              q_chunk: int = 0, scores_dtype=None):
+              mha: bool = False, q_chunk: int = 0, scores_dtype=None):
     """Plain softmax attention.  q: [B, Lq, H*Dh], k/v: [B, Lk, H*Dh].
 
     Softmax is computed in float32 regardless of input dtype (numerics rule
     for bf16 TPU attention).  flash=True routes eligible shapes through the
-    Pallas TPU flash kernel (fwd+bwd via its custom VJP).  q_chunk>0 splits
+    Pallas TPU flash kernel (fwd+bwd via its custom VJP).  mha=True routes
+    eligible self-attention shapes through the fused full-softmax Pallas
+    kernel (ops/pallas_mha.py) — faster than both XLA and splash at SD UNet
+    geometries where the whole K/V fits VMEM; flash wins when both are set
+    (the optimization chain needs splash's fused backward).  q_chunk>0 splits
     the query axis into chunks computed sequentially (lax.map): numerically
     identical (each query row's softmax sees the full key axis), but the f32
     score tensor shrinks from [B,H,Lq,Lk] to [B,H,q_chunk,Lk] — at SD level 0
@@ -129,6 +133,11 @@ def attention(q, k, v, num_heads: int, *, out_dtype=None, flash: bool = False,
     B, Lq, inner = q.shape
     if flash and _tpu_backend() and flash_ok(Lq, k.shape[-2], inner // num_heads):
         return flash_attention(q, k, v, num_heads).astype(out_dtype or q.dtype)
+    if mha and _tpu_backend() and Lq == k.shape[-2]:
+        from .pallas_mha import mha_attention, mha_ok
+
+        if mha_ok(Lq, Lq, inner // num_heads):
+            return mha_attention(q, k, v, num_heads, out_dtype=out_dtype)
     if q_chunk and Lq > q_chunk and Lq % q_chunk == 0:
         nc = Lq // q_chunk
         qc = jnp.moveaxis(q.reshape(B, nc, q_chunk, inner), 1, 0)

@@ -40,6 +40,11 @@ def main():
                          "(1.8x faster grad-through-chain), OFF otherwise "
                          "(XLA+bf16 scores wins forward-only)")
     ap.add_argument("--no-flash", dest="flash", action="store_false")
+    ap.add_argument("--mha", default=None, action="store_true",
+                    help="fused full-softmax Pallas MHA self-attention; "
+                         "default ON outside spacetime mode (+3%% vanilla, "
+                         "docs/BENCHMARKS.md)")
+    ap.add_argument("--no-mha", dest="mha", action="store_false")
     ap.add_argument("--scores-dtype", default="bfloat16",
                     help="self-attention score buffer dtype (bfloat16: +10%% vanilla throughput, enables batch 8)")
     ap.add_argument("--resume", action="store_true")
@@ -99,6 +104,8 @@ def main():
         )
 
     use_flash = (args.mode == "spacetime") if args.flash is None else args.flash
+    # fused MHA kernel: forward-path win (the chain keeps splash)
+    use_mha = (args.mode != "spacetime") if args.mha is None else args.mha
     if args.tiny:
         from diffusion_spacetime_attn_tpu.config import (
             CLIPConfig,
@@ -126,6 +133,7 @@ def main():
     else:
         cfg = PipelineConfig(
             unet=UNetConfig(dtype=args.dtype, use_flash=use_flash,
+                            use_mha=use_mha,
                             attn_scores_dtype=args.scores_dtype),
             vae=VAEConfig(dtype=args.dtype),
             spacetime=SpaceTimeConfig(num_steps=args.steps),

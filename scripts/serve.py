@@ -102,8 +102,10 @@ def main():
     else:
         cfg = PipelineConfig(
             unet=UNetConfig(dtype=args.dtype, attn_scores_dtype=args.scores_dtype,
-                            # splash: 1.8x faster grad chain, batches to 8
-                            use_flash=args.mode == "spacetime"),
+                            # splash: 1.8x faster grad chain, batches to 8;
+                            # fused MHA: forward-only serving win (+3%)
+                            use_flash=args.mode == "spacetime",
+                            use_mha=args.mode != "spacetime"),
             vae=VAEConfig(dtype=args.dtype),
             spacetime=SpaceTimeConfig(num_steps=args.steps,
                                       guidance_scale=args.scale),

@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--clip-vocab", default=None, help="CLIP BPE vocab file")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--flash", action="store_true")
+    ap.add_argument("--no-mha", dest="mha", action="store_false",
+                    help="disable the fused Pallas MHA self-attention "
+                         "kernel (on by default: +3%% vanilla, "
+                         "docs/BENCHMARKS.md)")
     ap.add_argument("--watermark", action="store_true")
     args = ap.parse_args()
 
@@ -71,7 +75,8 @@ def main():
     )
 
     cfg = PipelineConfig(
-        unet=UNetConfig(dtype=args.dtype, use_flash=args.flash),
+        unet=UNetConfig(dtype=args.dtype, use_flash=args.flash,
+                        use_mha=args.mha),
         vae=VAEConfig(dtype=args.dtype),
         spacetime=SpaceTimeConfig(num_steps=args.steps, guidance_scale=args.scale),
     )
