@@ -44,7 +44,7 @@ GPU_REFERENCE_METHOD_IMG_PER_MIN = 1.3
 
 def bench_once(mode, sampler, steps, batch, dtype, flash, q_chunk,
                scores_dtype, fused_control, params_dtype, iters,
-               num_objects=4, remat="true", mha=False):
+               num_objects=4, remat="true", mha=False, fused_ff=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -65,6 +65,7 @@ def bench_once(mode, sampler, steps, batch, dtype, flash, q_chunk,
     cfg = PipelineConfig(
         unet=UNetConfig(dtype=dtype, use_flash=flash, use_mha=mha,
                         use_fused_control=fused_control,
+                        use_fused_ff=fused_ff,
                         attn_q_chunk=q_chunk,
                         attn_scores_dtype=scores_dtype),
         vae=VAEConfig(dtype=dtype),
@@ -205,6 +206,10 @@ def main():
                     help="fused full-softmax Pallas MHA for self-attention "
                          "(serving-path kernel; flash wins when both set)")
     ap.add_argument("--no-mha", dest="mha", action="store_false")
+    ap.add_argument("--fused-ff", default=None, action="store_true",
+                    help="fused Pallas GEGLU feed-forward kernel at winning "
+                         "geometries (serving-path knob like --mha)")
+    ap.add_argument("--no-fused-ff", dest="fused_ff", action="store_false")
     ap.add_argument("--q-chunk", type=int, default=0,
                     help=">0: query-chunked long self-attention (enables batch>7)")
     ap.add_argument("--scores-dtype", default="bfloat16",
@@ -233,16 +238,19 @@ def main():
         steps = steps or args.steps or (20 if mode == "spacetime" else 50)
         if flash is None:
             flash = args.flash if args.flash is not None else mode == "spacetime"
-        # fused MHA kernel: measured forward-path win (76.7 vs 74.2 img/min
-        # vanilla B8); the optimization chain keeps splash (fused backward)
+        # fused MHA + GEGLU kernels: measured forward-path wins (vanilla B8
+        # 74.2 -> 76.7 with mha; fused-ff gated to its winning geometries);
+        # the optimization chain keeps splash (fused backward) + XLA FF
         mha = (mode != "spacetime") if args.mha is None else args.mha
+        fused_ff = ((mode != "spacetime") if args.fused_ff is None
+                    else args.fused_ff)
         return bench_once(
             mode=mode, sampler=sampler, steps=steps,
             batch=batch or args.batch, dtype=args.dtype, flash=flash,
             q_chunk=args.q_chunk, scores_dtype=args.scores_dtype,
             fused_control=args.fused_control, params_dtype=args.params_dtype,
             iters=args.iters, num_objects=args.objects, remat=args.remat,
-            mha=mha,
+            mha=mha, fused_ff=fused_ff,
         )
 
     if args.mode is not None:

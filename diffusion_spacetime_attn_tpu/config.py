@@ -42,6 +42,10 @@ class UNetConfig:
     use_mha: bool = False
     # fuse the blended global+local cross-attention into one Pallas kernel
     use_fused_control: bool = False
+    # route winning-geometry GEGLU feed-forwards through the fused Pallas
+    # MLP kernel (ops/pallas_geglu.py): both matmuls + erf-gelu gate +
+    # residual in one pallas_call, gated intermediate stays in VMEM
+    use_fused_ff: bool = False
     # >0: compute long self-attention in query chunks of this size (identical
     # numerics, O(q_chunk·Lk) score memory instead of O(Lq·Lk)) — lifts the
     # level-0 [B,H,4096,4096] f32 score tensor that caps vanilla batch at 7

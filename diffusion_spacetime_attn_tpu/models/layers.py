@@ -14,7 +14,13 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import SpatialControl, attention, spacetime_cross_attention
+from ..ops.attention import (
+    SpatialControl,
+    _tpu_backend,
+    attention,
+    spacetime_cross_attention,
+)
+from ..ops.pallas_geglu import ff_win, geglu_ff
 
 
 def timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0):
@@ -45,21 +51,56 @@ class GroupNorm32(nn.Module):
         return gn(x.astype(jnp.float32)).astype(x.dtype)
 
 
+class _DenseParams(nn.Module):
+    """Parameters of an nn.Dense (same initializers, same pytree paths —
+    `{name}/kernel`, `{name}/bias`) without applying it; lets the fused
+    GEGLU kernel consume raw weights while staying checkpoint-compatible
+    with the nn.Dense formulation."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (in_features, self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
+        )
+        return kernel, bias
+
+
 class GEGLUFeedForward(nn.Module):
     """GEGLU MLP (reference `attention.py:42-66`): proj to 2×(4·dim), gate
-    with gelu, project back."""
+    with gelu, project back.  fused=True routes winning geometries through
+    the single-pallas_call kernel (ops/pallas_geglu.py) — the gated
+    [M, inner] intermediate never touches HBM and the residual add fuses
+    into the final store."""
 
     dim: int
     mult: int = 4
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, residual=None):
         inner = self.dim * self.mult
-        h = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
+        w1, b1 = _DenseParams(inner * 2, name="proj_in")(x.shape[-1])
+        w2, b2 = _DenseParams(self.dim, name="proj_out")(inner)
+        M = math.prod(x.shape[:-1])
+        if self.fused and _tpu_backend() and ff_win(M, self.dim, inner):
+            dt = self.dtype
+            res = None if residual is None else residual.astype(dt)
+            return geglu_ff(x.astype(dt), w1.astype(dt), b1.astype(dt),
+                            w2.astype(dt), b2.astype(dt), res)
+        # plain path — exactly nn.Dense(dtype=self.dtype) semantics
+        dt = self.dtype
+        h = jnp.dot(x.astype(dt), w1.astype(dt)) + b1.astype(dt)
         h, gate = jnp.split(h, 2, axis=-1)
         h = h * jax.nn.gelu(gate, approximate=False)
-        return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(h)
+        out = jnp.dot(h, w2.astype(dt)) + b2.astype(dt)
+        return out if residual is None else out + residual
 
 
 class CrossAttention(nn.Module):
@@ -120,6 +161,7 @@ class BasicTransformerBlock(nn.Module):
     flash: bool = False
     mha: bool = False
     fused_control: bool = False
+    fused_ff: bool = False
     q_chunk: int = 0
     scores_dtype: Optional[jnp.dtype] = None
 
@@ -153,9 +195,9 @@ class BasicTransformerBlock(nn.Module):
             x = attn2(norm_f32(norm2, x)) + x
         else:
             x = attn2.controlled(norm_f32(norm2, x), context, control, self.radius) + x
-        x = GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(
-            norm_f32(norm3, x)
-        ) + x
+        x = GEGLUFeedForward(
+            self.dim, dtype=self.dtype, fused=self.fused_ff, name="ff"
+        )(norm_f32(norm3, x), residual=x)
         return x
 
 
@@ -171,6 +213,7 @@ class SpatialTransformer(nn.Module):
     flash: bool = False
     mha: bool = False
     fused_control: bool = False
+    fused_ff: bool = False
     q_chunk: int = 0
     scores_dtype: Optional[jnp.dtype] = None
 
@@ -184,7 +227,8 @@ class SpatialTransformer(nn.Module):
             h = BasicTransformerBlock(
                 self.channels, self.heads, radius=self.radius,
                 dtype=self.dtype, flash=self.flash, mha=self.mha,
-                fused_control=self.fused_control, q_chunk=self.q_chunk,
+                fused_control=self.fused_control, fused_ff=self.fused_ff,
+                q_chunk=self.q_chunk,
                 scores_dtype=self.scores_dtype, name=f"block_{d}",
             )(h, context, control)
         h = h.reshape(B, H, W, self.channels)

@@ -75,6 +75,7 @@ class UNet(nn.Module):
                 flash=cfg.use_flash,
                 mha=cfg.use_mha,
                 fused_control=cfg.use_fused_control,
+                fused_ff=cfg.use_fused_ff,
                 q_chunk=cfg.attn_q_chunk,
                 scores_dtype=(None if cfg.attn_scores_dtype == "float32"
                               else jnp.dtype(cfg.attn_scores_dtype)),

@@ -1,0 +1,233 @@
+"""Fused GEGLU feed-forward kernel (proj_in -> gelu-gate -> proj_out).
+
+Profile-driven (scripts/analyze_trace.py, round 3): XLA runs the FF
+`proj_out` matmuls at only 19-27% of MXU peak (`add_add_fusion` rows,
+~11 ms of the 125 ms UNet step at b8) and round-trips the [M, 2*inner]
+projection through HBM (336 MB per level-0 block at bf16).
+
+This kernel computes the whole GEGLU MLP of the SD transformer block —
+
+    h    = x @ W1[:, :inner] + b1[:inner]
+    gate = x @ W1[:, inner:] + b1[inner:]
+    out  = (h * gelu(gate)) @ W2 + b2 (+ residual)
+
+— in one pallas_call: grid over (M tiles, inner tiles), the gated
+intermediate lives only in VMEM, partial `out` contributions accumulate
+in an f32 scratch across inner tiles, and the residual add is fused into
+the final store.  gelu is the exact erf form (reference
+`ldm/modules/attention.py:42-50` GEGLU; erf is a native TPU
+transcendental).  Weights stream in (dim x bn) column blocks, so the
+level-2 geometry (W1 = 1280x10240, 26 MB bf16) works without ever
+holding a full weight matrix in VMEM.
+
+Differentiable via custom VJP: backward = jax.vjp of the plain XLA
+formulation (exactly the ops the un-fused path runs), so chain gradients
+match the einsum path; the kernel's win is the forward/serving path.
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_blocks(M: int, dim: int, inner: int):
+    """(bm, bn) whose working set fits VMEM, or None.
+
+    Budget: x tile [bm,dim] (double-buffered) + three weight blocks
+    (W1h/W1g [dim,bn], W2 [bn,dim], double-buffered across inner steps)
+    + f32 h/gate scratch [bm,bn] + f32 accumulator [bm,dim].
+    DSTA_FF_BM caps the row block (tuning knob).
+    """
+    cap = int(os.environ.get("DSTA_FF_BM", "512"))
+    ncap = int(os.environ.get("DSTA_FF_BN", "2560"))
+    for bm in (512, 256, 128, 64, 32, 16, 8):
+        if bm > cap or M % bm:
+            continue
+        for bn in (2560, 2048, 1280, 1024, 640, 512, 256, 128, 64):
+            if bn > ncap or bn > inner or inner % bn:
+                continue
+            vmem = (2 * bm * dim * 2          # x (double-buffered)
+                    + 2 * 3 * dim * bn * 2    # W1h, W1g, W2 (double-buffered)
+                    + 2 * bm * bn * 4         # h, gate f32
+                    + bm * dim * 4            # accumulator
+                    + 2 * bm * dim * 2)       # out + residual
+            if vmem <= 12 * 1024 * 1024:
+                return bm, bn
+    return None
+
+
+def ff_ok(M: int, dim: int, inner: int) -> bool:
+    return _pick_blocks(M, dim, inner) is not None
+
+
+def ff_win(M: int, dim: int, inner: int) -> bool:
+    """Shapes where routing the FF through the kernel WINS the
+    whole-pipeline A/B (bench.py vanilla PLMS50 b8 on v5e, round 3):
+
+      XLA FF            76.67 img/min
+      fused dim 320     78.90   (+2.9%)
+      fused dim 320+640 80.29   (+4.7%)  <- default envelope
+
+    dim 1280 (level 2 + mid) is hard-gated: it lost the isolated scan A/B
+    (small M can't hide the streamed 26 MB weights) AND its best feasible
+    blocking exceeds Mosaic's 16 MB scoped-VMEM limit at M=4096.
+    DSTA_FF_DIMS narrows the allowlist for experiments (comma-separated
+    dims, or 'all' for every dim <= 640)."""
+    if dim > 640:
+        return False
+    env = os.environ.get("DSTA_FF_DIMS", "")
+    if env and env != "all":
+        if dim not in {int(s) for s in env.split(",")}:
+            return False
+    return ff_ok(M, dim, inner)
+
+
+def _erf(x):
+    """f32 erf for the kernel body: Mosaic has no erf lowering, so this is
+    the Eigen `generic_fast_erf_float` rational polynomial (the same
+    approximation XLA:CPU lowers erf to).  Validated against jax.lax.erf
+    over [-8, 8]: max abs error 6e-7 — f32-ulp level, invisible at the
+    bf16 compute dtype (tests/test_pallas_geglu.py)."""
+    x = jnp.clip(x, -3.925724883e00, 3.925724883e00)
+    x2 = x * x
+    a = jnp.float32(-2.72614225801306e-10)
+    a = a * x2 + jnp.float32(2.77068142495902e-08)
+    a = a * x2 + jnp.float32(-2.10102402082508e-06)
+    a = a * x2 + jnp.float32(-5.69250639462346e-05)
+    a = a * x2 + jnp.float32(-7.34990630326855e-04)
+    a = a * x2 + jnp.float32(-2.95459980854025e-03)
+    a = a * x2 + jnp.float32(-1.60960333262415e-02)
+    a = a * x
+    b = jnp.float32(-1.45660718464996e-05)
+    b = b * x2 + jnp.float32(-2.13374055278905e-04)
+    b = b * x2 + jnp.float32(-1.68282697438203e-03)
+    b = b * x2 + jnp.float32(-7.37332916720468e-03)
+    b = b * x2 + jnp.float32(-1.42647390514189e-02)
+    return a / b
+
+
+def _gelu_erf(x):
+    return 0.5 * x * (1.0 + _erf(x * (2.0 ** -0.5)))
+
+
+def _ff_kernel(x_ref, w1h_ref, w1g_ref, b1h_ref, b1g_ref, w2_ref, b2_ref,
+               res_ref, o_ref, acc_ref, *, nj: int):
+    j = pl.program_id(1)
+    x = x_ref[...]
+    h = jax.lax.dot_general(
+        x, w1h_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1h_ref[...]
+    g = jax.lax.dot_general(
+        x, w1g_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1g_ref[...]
+    u = (h * _gelu_erf(g)).astype(x.dtype)
+    part = jax.lax.dot_general(
+        u, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[...] = part
+
+    @pl.when(j > 0)
+    def _():
+        acc_ref[...] += part
+
+    @pl.when(j == nj - 1)
+    def _():
+        o_ref[...] = (
+            acc_ref[...] + b2_ref[...]
+            + res_ref[...].astype(jnp.float32)
+        ).astype(o_ref.dtype)
+
+
+def _ff_fwd_impl(x, w1, b1, w2, b2, res, interpret: bool):
+    M, dim = x.shape
+    inner = w2.shape[0]
+    blocks = _pick_blocks(M, dim, inner)
+    if blocks is None:
+        raise ValueError(f"geglu kernel: no viable blocks for M={M}, "
+                         f"dim={dim}, inner={inner} (check ff_ok first)")
+    bm, bn = blocks
+    nj = inner // bn
+    w1h, w1g = w1[:, :inner], w1[:, inner:]
+    b1h = b1[:inner].reshape(1, inner)
+    b1g = b1[inner:].reshape(1, inner)
+    b2r = b2.reshape(1, dim)
+    kern = functools.partial(_ff_kernel, nj=nj)
+    return pl.pallas_call(
+        kern,
+        grid=(M // bm, nj),
+        in_specs=[
+            pl.BlockSpec((bm, dim), lambda i, j: (i, 0)),
+            pl.BlockSpec((dim, bn), lambda i, j: (0, j)),
+            pl.BlockSpec((dim, bn), lambda i, j: (0, j)),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j)),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j)),
+            pl.BlockSpec((bn, dim), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, dim), lambda i, j: (0, 0)),
+            pl.BlockSpec((bm, dim), lambda i, j: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, dim), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((M, dim), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, dim), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * dim * inner * 3,
+            bytes_accessed=2 * (3 * M * dim + 3 * dim * inner),
+            transcendentals=M * inner,
+        ),
+    )(x, w1h, w1g, b1h, b1g, w2, b2r, res)
+
+
+def _xla_ref(x, w1, b1, w2, b2, res):
+    """The un-fused formulation (matches models/layers.py
+    GEGLUFeedForward + residual); used for the VJP and as test oracle."""
+    inner = w2.shape[0]
+    h = (jnp.dot(x, w1[:, :inner], preferred_element_type=jnp.float32)
+         + b1[:inner])
+    g = (jnp.dot(x, w1[:, inner:], preferred_element_type=jnp.float32)
+         + b1[inner:])
+    u = (h * _gelu_erf(g)).astype(x.dtype)
+    out = (jnp.dot(u, w2, preferred_element_type=jnp.float32) + b2
+           + res.astype(jnp.float32))
+    return out.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _ff(x, w1, b1, w2, b2, res, interpret: bool = False):
+    return _ff_fwd_impl(x, w1, b1, w2, b2, res, interpret)
+
+
+def _ff_vjp_fwd(x, w1, b1, w2, b2, res, interpret):
+    return _ff_fwd_impl(x, w1, b1, w2, b2, res, interpret), (x, w1, b1, w2,
+                                                             b2, res)
+
+
+def _ff_vjp_bwd(interpret, saved, g):
+    _, vjp = jax.vjp(_xla_ref, *saved)
+    return vjp(g)
+
+
+_ff.defvjp(_ff_vjp_fwd, _ff_vjp_bwd)
+
+
+def geglu_ff(x, w1, b1, w2, b2, residual=None, *, interpret: bool = False):
+    """Fused GEGLU MLP.  x: [..., L, dim]; w1: [dim, 2*inner];
+    b1: [2*inner]; w2: [inner, dim]; b2: [dim].  residual (same shape as
+    x) is added into the output inside the kernel when given."""
+    shape = x.shape
+    dim = shape[-1]
+    x2 = x.reshape(-1, dim)
+    res = (jnp.zeros_like(x2) if residual is None
+           else residual.reshape(-1, dim).astype(x.dtype))
+    out = _ff(x2, w1, b1, w2, b2, res, interpret)
+    return out.reshape(shape)

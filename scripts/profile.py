@@ -63,7 +63,8 @@ def main():
         cfg = PipelineConfig(
             unet=UNetConfig(dtype="bfloat16", attn_scores_dtype="bfloat16",
                             use_flash=args.mode == "spacetime",
-                            use_mha=args.mode != "spacetime"),
+                            use_mha=args.mode != "spacetime",
+                            use_fused_ff=args.mode != "spacetime"),
             vae=VAEConfig(dtype="bfloat16"),
             spacetime=SpaceTimeConfig(num_steps=args.steps),
         )

@@ -45,6 +45,10 @@ def main():
                          "default ON outside spacetime mode (+3%% vanilla, "
                          "docs/BENCHMARKS.md)")
     ap.add_argument("--no-mha", dest="mha", action="store_false")
+    ap.add_argument("--fused-ff", default=None, action="store_true",
+                    help="fused Pallas GEGLU feed-forward; default ON "
+                         "outside spacetime mode (+2%% on top of mha)")
+    ap.add_argument("--no-fused-ff", dest="fused_ff", action="store_false")
     ap.add_argument("--scores-dtype", default="bfloat16",
                     help="self-attention score buffer dtype (bfloat16: +10%% vanilla throughput, enables batch 8)")
     ap.add_argument("--resume", action="store_true")
@@ -104,8 +108,10 @@ def main():
         )
 
     use_flash = (args.mode == "spacetime") if args.flash is None else args.flash
-    # fused MHA kernel: forward-path win (the chain keeps splash)
+    # fused MHA + GEGLU kernels: forward-path wins (the chain keeps splash)
     use_mha = (args.mode != "spacetime") if args.mha is None else args.mha
+    use_fused_ff = ((args.mode != "spacetime") if args.fused_ff is None
+                    else args.fused_ff)
     if args.tiny:
         from diffusion_spacetime_attn_tpu.config import (
             CLIPConfig,
@@ -133,7 +139,7 @@ def main():
     else:
         cfg = PipelineConfig(
             unet=UNetConfig(dtype=args.dtype, use_flash=use_flash,
-                            use_mha=use_mha,
+                            use_mha=use_mha, use_fused_ff=use_fused_ff,
                             attn_scores_dtype=args.scores_dtype),
             vae=VAEConfig(dtype=args.dtype),
             spacetime=SpaceTimeConfig(num_steps=args.steps),

@@ -105,7 +105,8 @@ def main():
                             # splash: 1.8x faster grad chain, batches to 8;
                             # fused MHA: forward-only serving win (+3%)
                             use_flash=args.mode == "spacetime",
-                            use_mha=args.mode != "spacetime"),
+                            use_mha=args.mode != "spacetime",
+                            use_fused_ff=args.mode != "spacetime"),
             vae=VAEConfig(dtype=args.dtype),
             spacetime=SpaceTimeConfig(num_steps=args.steps,
                                       guidance_scale=args.scale),

@@ -36,6 +36,10 @@ def main():
                     help="disable the fused Pallas MHA self-attention "
                          "kernel (on by default: +3%% vanilla, "
                          "docs/BENCHMARKS.md)")
+    ap.add_argument("--no-fused-ff", dest="fused_ff", action="store_false",
+                    help="disable the fused Pallas GEGLU feed-forward "
+                         "kernel (on by default: +2%% on top of mha, "
+                         "docs/BENCHMARKS.md)")
     ap.add_argument("--watermark", action="store_true")
     args = ap.parse_args()
 
@@ -76,7 +80,7 @@ def main():
 
     cfg = PipelineConfig(
         unet=UNetConfig(dtype=args.dtype, use_flash=args.flash,
-                        use_mha=args.mha),
+                        use_mha=args.mha, use_fused_ff=args.fused_ff),
         vae=VAEConfig(dtype=args.dtype),
         spacetime=SpaceTimeConfig(num_steps=args.steps, guidance_scale=args.scale),
     )
