@@ -44,7 +44,8 @@ GPU_REFERENCE_METHOD_IMG_PER_MIN = 1.3
 
 def bench_once(mode, sampler, steps, batch, dtype, flash, q_chunk,
                scores_dtype, fused_control, params_dtype, iters,
-               num_objects=4, remat="true", mha=False, fused_ff=False):
+               num_objects=4, remat="true", mha=False, fused_ff=False,
+               conv_barrier=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -66,6 +67,7 @@ def bench_once(mode, sampler, steps, batch, dtype, flash, q_chunk,
         unet=UNetConfig(dtype=dtype, use_flash=flash, use_mha=mha,
                         use_fused_control=fused_control,
                         use_fused_ff=fused_ff,
+                        conv_norm_barrier=conv_barrier,
                         attn_q_chunk=q_chunk,
                         attn_scores_dtype=scores_dtype),
         vae=VAEConfig(dtype=dtype),
@@ -210,6 +212,11 @@ def main():
                     help="fused Pallas GEGLU feed-forward kernel at winning "
                          "geometries (serving-path knob like --mha)")
     ap.add_argument("--no-fused-ff", dest="fused_ff", action="store_false")
+    ap.add_argument("--conv-barrier", default=None, action="store_true",
+                    help="materialize GroupNorm+SiLU before ResBlock convs "
+                         "(de-fuses the norm prologue from the conv emitter)")
+    ap.add_argument("--no-conv-barrier", dest="conv_barrier",
+                    action="store_false")
     ap.add_argument("--q-chunk", type=int, default=0,
                     help=">0: query-chunked long self-attention (enables batch>7)")
     ap.add_argument("--scores-dtype", default="bfloat16",
@@ -251,6 +258,7 @@ def main():
             fused_control=args.fused_control, params_dtype=args.params_dtype,
             iters=args.iters, num_objects=args.objects, remat=args.remat,
             mha=mha, fused_ff=fused_ff,
+            conv_barrier=bool(args.conv_barrier),
         )
 
     if args.mode is not None:

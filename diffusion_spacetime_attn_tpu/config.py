@@ -46,6 +46,11 @@ class UNetConfig:
     # MLP kernel (ops/pallas_geglu.py): both matmuls + erf-gelu gate +
     # residual in one pallas_call, gated intermediate stays in VMEM
     use_fused_ff: bool = False
+    # materialize the GroupNorm+SiLU output before each ResBlock conv
+    # (optimization_barrier) instead of letting XLA fuse the normalize
+    # prologue into the conv — the fused in_conv emitter runs at ~50% MXU
+    # vs ~100% for plain convs (profile, docs/BENCHMARKS.md round 3)
+    conv_norm_barrier: bool = False
     # >0: compute long self-attention in query chunks of this size (identical
     # numerics, O(q_chunk·Lk) score memory instead of O(Lq·Lk)) — lifts the
     # level-0 [B,H,4096,4096] f32 score tensor that caps vanilla batch at 7

@@ -245,18 +245,24 @@ class ResBlock(nn.Module):
 
     out_channels: int
     dtype: jnp.dtype = jnp.float32
+    norm_barrier: bool = False
 
     @nn.compact
     def __call__(self, x, emb):
+        # with norm_barrier, the normalized activation is materialized (one
+        # cheap HBM round-trip) so the conv compiles as a clean conv fusion
+        # instead of a GroupNorm-prologue conv running at ~50% MXU
+        barrier = (jax.lax.optimization_barrier if self.norm_barrier
+                   else (lambda v: v))
         h = GroupNorm32(name="in_norm")(x)
-        h = nn.silu(h)
+        h = barrier(nn.silu(h))
         h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype, name="in_conv")(h)
         e = nn.Dense(self.out_channels, dtype=self.dtype, name="emb_proj")(
             nn.silu(emb)
         )
         h = h + e[:, None, None, :]
         h = GroupNorm32(name="out_norm")(h)
-        h = nn.silu(h)
+        h = barrier(nn.silu(h))
         h = nn.Conv(
             self.out_channels, (3, 3), kernel_init=nn.initializers.zeros,
             dtype=self.dtype, name="out_conv",

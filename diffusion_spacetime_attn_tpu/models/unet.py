@@ -93,7 +93,8 @@ class UNet(nn.Module):
         for level, mult in enumerate(cfg.channel_mult):
             ch = cfg.model_channels * mult
             for _ in range(cfg.num_res_blocks):
-                h = ResBlock(ch, dtype=dtype, name=f"down_res_{block_idx}")(h, emb)
+                h = ResBlock(ch, dtype=dtype, norm_barrier=cfg.conv_norm_barrier,
+                             name=f"down_res_{block_idx}")(h, emb)
                 if ds in cfg.attention_resolutions:
                     h = transformer(ch, f"down_attn_{block_idx}")(h, context, control)
                 hs.append(h)
@@ -105,9 +106,11 @@ class UNet(nn.Module):
 
         # ---- middle ----
         ch = cfg.model_channels * cfg.channel_mult[-1]
-        h = ResBlock(ch, dtype=dtype, name="mid_res_0")(h, emb)
+        h = ResBlock(ch, dtype=dtype, norm_barrier=cfg.conv_norm_barrier,
+                     name="mid_res_0")(h, emb)
         h = transformer(ch, "mid_attn")(h, context, control)
-        h = ResBlock(ch, dtype=dtype, name="mid_res_1")(h, emb)
+        h = ResBlock(ch, dtype=dtype, norm_barrier=cfg.conv_norm_barrier,
+                     name="mid_res_1")(h, emb)
 
         # ---- decoder ----
         block_idx = 0
@@ -116,7 +119,8 @@ class UNet(nn.Module):
             for i in range(cfg.num_res_blocks + 1):
                 skip = hs.pop()
                 h = jnp.concatenate([h, skip], axis=-1)
-                h = ResBlock(ch, dtype=dtype, name=f"up_res_{block_idx}")(h, emb)
+                h = ResBlock(ch, dtype=dtype, norm_barrier=cfg.conv_norm_barrier,
+                             name=f"up_res_{block_idx}")(h, emb)
                 if ds in cfg.attention_resolutions:
                     h = transformer(ch, f"up_attn_{block_idx}")(h, context, control)
                 if level > 0 and i == cfg.num_res_blocks:

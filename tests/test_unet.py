@@ -104,3 +104,26 @@ def test_unconditional_context_free_forward():
     # attn2 q/k/v all project from the model dim (self-attention shape)
     a2 = params["down_attn_0"]["block_0"]["attn2"]
     assert a2["to_k"]["kernel"].shape[0] == a2["to_q"]["kernel"].shape[0]
+
+
+def test_conv_norm_barrier_is_identity():
+    """conv_norm_barrier only changes XLA fusion decisions
+    (optimization_barrier), never numerics: outputs are bit-exact."""
+    import dataclasses
+    import numpy as np
+    from diffusion_spacetime_attn_tpu.config import UNetConfig
+    from diffusion_spacetime_attn_tpu.models.unet import UNet
+
+    cfg = UNetConfig(model_channels=32, channel_mult=(1, 2), num_res_blocks=1,
+                     attention_resolutions=(1, 2), num_heads=2, context_dim=16)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 16, 4), jnp.float32)
+    t = jnp.array([3, 7], jnp.int32)
+    ctx = jnp.asarray(np.random.RandomState(1).randn(2, 5, 16), jnp.float32)
+    base = UNet(cfg, radius=0.2)
+    params = base.init(jax.random.PRNGKey(0), x, t, ctx)
+    from diffusion_spacetime_attn_tpu.utils.testing import randomize_params
+    params = {"params": randomize_params(params["params"], jax.random.PRNGKey(1), scale=0.2)}
+    barr = UNet(dataclasses.replace(cfg, conv_norm_barrier=True), radius=0.2)
+    a = base.apply(params, x, t, ctx)
+    b = barr.apply(params, x, t, ctx)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
