@@ -188,6 +188,117 @@ def _ff_fwd_impl(x, w1, b1, w2, b2, res, interpret: bool):
     )(x, w1h, w1g, b1h, b1g, w2, b2r, res)
 
 
+def _pick_blocks_bwd(M: int, dim: int, inner: int):
+    """(bm, bn) for the dx backward kernel, or None.
+
+    Budget: x + dy tiles [bm,dim] (double-buffered) + three weight blocks
+    (W1h/W1g [dim,bn], W2 [bn,dim], double-buffered) + f32 h/g/du scratch
+    [bm,bn] + f32 dx accumulator [bm,dim]."""
+    cap = int(os.environ.get("DSTA_FF_BWD_BM", "512"))
+    ncap = int(os.environ.get("DSTA_FF_BWD_BN", "2560"))
+    for bm in (512, 256, 128, 64, 32, 16, 8):
+        if bm > cap or M % bm:
+            continue
+        for bn in (2560, 2048, 1280, 1024, 640, 512, 256, 128, 64):
+            if bn > ncap or bn > inner or inner % bn:
+                continue
+            vmem = (2 * 2 * bm * dim * 2      # x, dy (double-buffered)
+                    + 2 * 3 * dim * bn * 2    # W1h, W1g, W2 (double-buffered)
+                    + 3 * bm * bn * 4         # h, g, du f32
+                    + bm * dim * 4            # dx accumulator
+                    + 2 * bm * dim * 2)       # dx out (double-buffered)
+            if vmem <= 12 * 1024 * 1024:
+                return bm, bn
+    return None
+
+
+_INV_SQRT2 = 2.0 ** -0.5
+_INV_SQRT2PI = 0.3989422804014327
+
+
+def _ff_bwd_kernel(x_ref, dy_ref, w1h_ref, w1g_ref, b1h_ref, b1g_ref,
+                   w2_ref, dx_ref, acc_ref, *, nj: int):
+    """dx of the GEGLU MLP, h/g recomputed per tile in VMEM.
+
+    The chain use-case (spacetime optimization) differentiates w.r.t. the
+    temporal coefficients only — params are frozen — so dx is the ONLY
+    cotangent on the hot path; dW/db stay as (DCE-prunable) XLA einsums in
+    the VJP wrapper."""
+    j = pl.program_id(1)
+    x = x_ref[...]
+    dy = dy_ref[...]
+    h = jax.lax.dot_general(
+        x, w1h_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1h_ref[...]
+    g = jax.lax.dot_general(
+        x, w1g_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1g_ref[...]
+    # du = dy @ W2^T, NT form: contract the shared `dim` axis
+    du = jax.lax.dot_general(
+        dy, w2_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    c = 0.5 * (1.0 + _erf(g * _INV_SQRT2))           # gelu(g)/g
+    phi = jnp.exp(-0.5 * g * g) * _INV_SQRT2PI        # N(0,1) pdf
+    dh = (du * (g * c)).astype(x.dtype)               # du * gelu(g)
+    dg = (du * (h * (c + g * phi))).astype(x.dtype)   # du * h * gelu'(g)
+    # dx partial = dh @ W1h^T + dg @ W1g^T (NT: contract the bn axis)
+    part = jax.lax.dot_general(
+        dh, w1h_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        dg, w1g_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[...] = part
+
+    @pl.when(j > 0)
+    def _():
+        acc_ref[...] += part
+
+    @pl.when(j == nj - 1)
+    def _():
+        dx_ref[...] = acc_ref[...].astype(dx_ref.dtype)
+
+
+def _ff_dx(x, w1, b1, w2, dy, interpret: bool):
+    M, dim = x.shape
+    inner = w2.shape[0]
+    bm, bn = _pick_blocks_bwd(M, dim, inner)
+    nj = inner // bn
+    w1h, w1g = w1[:, :inner], w1[:, inner:]
+    b1h = b1[:inner].reshape(1, inner)
+    b1g = b1[inner:].reshape(1, inner)
+    kern = functools.partial(_ff_bwd_kernel, nj=nj)
+    return pl.pallas_call(
+        kern,
+        grid=(M // bm, nj),
+        in_specs=[
+            pl.BlockSpec((bm, dim), lambda i, j: (i, 0)),   # x
+            pl.BlockSpec((bm, dim), lambda i, j: (i, 0)),   # dy
+            pl.BlockSpec((dim, bn), lambda i, j: (0, j)),   # W1h
+            pl.BlockSpec((dim, bn), lambda i, j: (0, j)),   # W1g
+            pl.BlockSpec((1, bn), lambda i, j: (0, j)),     # b1h
+            pl.BlockSpec((1, bn), lambda i, j: (0, j)),     # b1g
+            pl.BlockSpec((bn, dim), lambda i, j: (j, 0)),   # W2
+        ],
+        out_specs=pl.BlockSpec((bm, dim), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((M, dim), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, dim), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * dim * inner * 5,
+            bytes_accessed=2 * (4 * M * dim + 3 * dim * inner),
+            transcendentals=2 * M * inner,
+        ),
+    )(x, dy, w1h, w1g, b1h, b1g, w2)
+
+
 def _xla_ref(x, w1, b1, w2, b2, res):
     """The un-fused formulation (matches models/layers.py
     GEGLUFeedForward + residual); used for the VJP and as test oracle."""
@@ -212,9 +323,42 @@ def _ff_vjp_fwd(x, w1, b1, w2, b2, res, interpret):
                                                              b2, res)
 
 
-def _ff_vjp_bwd(interpret, saved, g):
-    _, vjp = jax.vjp(_xla_ref, *saved)
-    return vjp(g)
+def _ff_vjp_bwd(interpret, saved, gy):
+    """dx through the fused Pallas backward kernel (h/g recomputed in
+    VMEM); dW/db as plain XLA einsums that XLA's DCE prunes whenever the
+    params are frozen — which is the whole spacetime optimization chain
+    (grads flow to the temporal coefficients only, reference
+    `plms.py:204-293`).  Falls back to jax.vjp of the XLA formulation when
+    no backward blocking fits."""
+    x, w1, b1, w2, b2, res = saved
+    M, dim = x.shape
+    inner = w2.shape[0]
+    if _pick_blocks_bwd(M, dim, inner) is None:
+        _, vjp = jax.vjp(_xla_ref, *saved)
+        return vjp(gy)
+    dx = _ff_dx(x, w1, b1, w2, gy, interpret)
+    gf = gy.astype(jnp.float32)
+    # param cotangents (recompute h/g/u in XLA; pruned under frozen params)
+    h = (jnp.dot(x, w1[:, :inner], preferred_element_type=jnp.float32)
+         + b1[:inner])
+    g = (jnp.dot(x, w1[:, inner:], preferred_element_type=jnp.float32)
+         + b1[inner:])
+    c = 0.5 * (1.0 + _erf(g * _INV_SQRT2))
+    phi = jnp.exp(-0.5 * g * g) * _INV_SQRT2PI
+    u = (h * (g * c)).astype(x.dtype)
+    du = jnp.dot(gf, w2.T.astype(jnp.float32),
+                 preferred_element_type=jnp.float32)
+    dh = du * (g * c)
+    dg = du * (h * (c + g * phi))
+    dw2 = jnp.dot(u.T, gf, preferred_element_type=jnp.float32).astype(w2.dtype)
+    db2 = jnp.sum(gf, axis=0).astype(b2.dtype)
+    dw1 = jnp.concatenate([
+        jnp.dot(x.T, dh.astype(x.dtype), preferred_element_type=jnp.float32),
+        jnp.dot(x.T, dg.astype(x.dtype), preferred_element_type=jnp.float32),
+    ], axis=1).astype(w1.dtype)
+    db1 = jnp.concatenate([jnp.sum(dh, 0), jnp.sum(dg, 0)]).astype(b1.dtype)
+    dres = gy.astype(res.dtype)
+    return dx, dw1, db1, dw2, db2, dres
 
 
 _ff.defvjp(_ff_vjp_fwd, _ff_vjp_bwd)

@@ -163,3 +163,45 @@ def test_ff_win_envelope(monkeypatch):
     assert not ff_win(256 * 8, 1280, 5120)      # gate beats 'all'
     # infeasible rows (M not divisible by any block) stay off regardless
     assert not ff_ok(7, 320, 1280)
+
+
+def test_grads_multitile_bwd(monkeypatch):
+    """dx backward kernel with nj > 1 (inner tiled): the f32 accumulator
+    carries dx partials across inner tiles."""
+    monkeypatch.setenv("DSTA_FF_BN", "256")
+    monkeypatch.setenv("DSTA_FF_BWD_BN", "256")
+    M, dim = 32, 320
+    inner = dim * 4
+    x, w1, b1, w2, b2, res = _inputs(M, dim, inner, seed=21)
+    cot = jnp.asarray(np.random.RandomState(22).randn(M, dim), jnp.float32)
+
+    def loss(fn):
+        return lambda *a: jnp.sum(fn(*a) * cot)
+
+    want = jax.grad(loss(_xla_ref), argnums=tuple(range(6)))(
+        x, w1, b1, w2, b2, res)
+    got = jax.grad(
+        loss(lambda *a: geglu_ff(*a[:5], residual=a[5], interpret=True)),
+        argnums=tuple(range(6)))(x, w1, b1, w2, b2, res)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=2e-4, rtol=2e-4)
+
+
+def test_bwd_falls_back_when_no_blocking(monkeypatch):
+    """M not divisible by any block: the VJP falls back to jax.vjp of the
+    XLA formulation (still correct)."""
+    M, dim = 24, 320  # 24 divides by 8 — force failure via BM cap
+    monkeypatch.setenv("DSTA_FF_BWD_BM", "7")
+    inner = dim * 4
+    x, w1, b1, w2, b2, res = _inputs(M, dim, inner, seed=23)
+    from diffusion_spacetime_attn_tpu.ops.pallas_geglu import _pick_blocks_bwd
+    assert _pick_blocks_bwd(M, dim, inner) is None
+    cot = jnp.asarray(np.random.RandomState(24).randn(M, dim), jnp.float32)
+    want = jax.grad(lambda *a: jnp.sum(_xla_ref(*a) * cot),
+                    argnums=0)(x, w1, b1, w2, b2, res)
+    got = jax.grad(
+        lambda *a: jnp.sum(geglu_ff(*a[:5], residual=a[5], interpret=True) * cot),
+        argnums=0)(x, w1, b1, w2, b2, res)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
