@@ -81,6 +81,21 @@ def strip_suffix(name):
     return re.sub(r"[.\d]+$", "", name)
 
 
+def load_hlo_meta(path):
+    """fusion/op name -> (result type, op_name metadata) from an
+    optimized-HLO text dump (`jit(fn).lower(...).compile().as_text()` —
+    XLA_FLAGS dump flags break the axon TPU plugin, so the compiled-text
+    route is the only one that works over the tunnel)."""
+    pat = re.compile(r"%(\S+) = (.+?) fusion\(.*?op_name=\"([^\"]*)\"")
+    meta = {}
+    with open(path) as f:
+        for line in f:
+            m = pat.search(line)
+            if m:
+                meta[m.group(1)] = (m.group(2).split("{")[0], m.group(3))
+    return meta
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--trace-dir", default="/tmp/dsta_trace")
@@ -93,6 +108,12 @@ def main():
     ap.add_argument("--iters", type=int, default=2,
                     help="traced iterations (for --per-step normalization)")
     ap.add_argument("--json", action="store_true", help="machine-readable")
+    ap.add_argument("--hlo", default=None,
+                    help="optimized-HLO text dump of the SAME program "
+                         "(compiled.as_text()); joins each trace fusion "
+                         "to its source op_name + result shape — the view "
+                         "that identified the level-0 attention mega-fusion "
+                         "and the FF proj_out rows (docs/BENCHMARKS.md)")
     args = ap.parse_args()
 
     files = find_trace_files(args.trace_dir)
@@ -104,7 +125,20 @@ def main():
     if not totals:
         sys.exit("no device events found in the trace")
 
-    if not args.raw:
+    if args.hlo:
+        meta = load_hlo_meta(args.hlo)
+        joined_t, joined_c = collections.Counter(), collections.Counter()
+        for name, dur in totals.items():
+            if name in meta:
+                shape, opn = meta[name]
+                opn = re.sub(r"^jit\([^)]*\)/", "", opn)
+                key = f"{opn}  {shape}"
+            else:
+                key = name if args.raw else strip_suffix(name)
+            joined_t[key] += dur
+            joined_c[key] += counts[name]
+        totals, counts = joined_t, joined_c
+    elif not args.raw:
         merged_t, merged_c = collections.Counter(), collections.Counter()
         for name, dur in totals.items():
             merged_t[strip_suffix(name)] += dur
@@ -120,12 +154,13 @@ def main():
         return
     print(f"# trace: {files[-1]}")
     print(f"# total device time: {grand / 1e3:.1f} ms")
-    hdr = f"{'op':<48} {'total ms':>9} {'count':>6} {'share':>6}"
+    w = 100 if args.hlo else 48
+    hdr = f"{'op':<{w}} {'total ms':>9} {'count':>6} {'share':>6}"
     if args.per_step:
         hdr += f" {'ms/step':>8}"
     print(hdr)
     for name, dur in rows:
-        line = (f"{name[:48]:<48} {dur / 1e3:>9.2f} {counts[name]:>6} "
+        line = (f"{name[:w]:<{w}} {dur / 1e3:>9.2f} {counts[name]:>6} "
                 f"{100 * dur / grand:>5.1f}%")
         if args.per_step:
             line += f" {dur / 1e3 / (args.per_step * args.iters):>8.3f}"

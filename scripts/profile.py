@@ -26,6 +26,11 @@ def main():
                     help="traced steady-state iterations (compile excluded)")
     ap.add_argument("--trace-dir", default="/tmp/dsta_trace")
     ap.add_argument("--tiny", action="store_true", help="tiny model (CPU smoke)")
+    ap.add_argument("--hlo-out", default=None,
+                    help="also write the optimized HLO text of the traced "
+                         "program (compiled.as_text(); XLA_FLAGS dump flags "
+                         "kill the axon plugin) — feed to "
+                         "analyze_trace.py --hlo for source-level attribution")
     args = ap.parse_args()
 
     import dataclasses
@@ -120,6 +125,14 @@ def main():
 
     logger.info("compiling…")
     jax.block_until_ready(call(jax.random.PRNGKey(0)))
+    if args.hlo_out:
+        if args.mode == "spacetime":
+            compiled = fn.lower(params, jax.random.PRNGKey(0), coef).compile()
+        else:
+            compiled = fn.lower(params, jax.random.PRNGKey(0)).compile()
+        with open(args.hlo_out, "w") as f:
+            f.write(compiled.as_text())
+        logger.info("optimized HLO → %s", args.hlo_out)
     logger.info("tracing %d iterations → %s", args.iters, args.trace_dir)
     with trace(args.trace_dir):
         for i in range(args.iters):
