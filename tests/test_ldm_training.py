@@ -51,7 +51,10 @@ def _numpy_lvlb_eps(cfg: ScheduleConfig) -> np.ndarray:
     ac = np.cumprod(alphas)
     ac_prev = np.append(1.0, ac[:-1])
     post_var = betas * (1.0 - ac_prev) / (1.0 - ac)
-    w = betas ** 2 / (2 * post_var * alphas * (1 - ac))
+    # the reference computes w[0] as 0/0 then patches it (ddpm.py:163-167);
+    # replicate exactly but keep the suite warning-clean
+    with np.errstate(divide="ignore", invalid="ignore"):
+        w = betas ** 2 / (2 * post_var * alphas * (1 - ac))
     w[0] = w[1]
     return w
 
