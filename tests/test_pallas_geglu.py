@@ -205,3 +205,28 @@ def test_bwd_falls_back_when_no_blocking(monkeypatch):
         argnums=0)(x, w1, b1, w2, b2, res)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("picker_name", ["_pick_blocks", "_pick_blocks_bwd"])
+def test_block_pickers_divide_and_fit(picker_name):
+    """Every (bm, bn) the pickers return divides (M, inner) exactly and
+    respects the 12 MB VMEM budget across the SD geometries and odd sizes."""
+    import diffusion_spacetime_attn_tpu.ops.pallas_geglu as pg
+    picker = getattr(pg, picker_name)
+    for M in (8, 64, 4096, 4096 * 8, 4096 * 16, 1024 * 8, 256 * 8):
+        for dim in (320, 640, 1280):
+            inner = dim * 4
+            blocks = picker(M, dim, inner)
+            if blocks is None:
+                continue
+            bm, bn = blocks
+            assert M % bm == 0 and inner % bn == 0
+            # recompute the picker's own budget bound
+            if picker_name == "_pick_blocks":
+                vmem = (2 * bm * dim * 2 + 2 * 3 * dim * bn * 2
+                        + 2 * bm * bn * 4 + bm * dim * 4 + 2 * bm * dim * 2)
+            else:
+                vmem = (2 * 2 * bm * dim * 2 + 2 * 3 * dim * bn * 2
+                        + 3 * bm * bn * 4 + bm * dim * 4 + 2 * bm * dim * 2)
+            assert vmem <= 12 * 1024 * 1024
+    assert picker(7, 320, 1280) is None  # indivisible M
