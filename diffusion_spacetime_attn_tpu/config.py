@@ -48,8 +48,10 @@ class UNetConfig:
     use_fused_ff: bool = False
     # materialize the GroupNorm+SiLU output before each ResBlock conv
     # (optimization_barrier) instead of letting XLA fuse the normalize
-    # prologue into the conv — the fused in_conv emitter runs at ~50% MXU
-    # vs ~100% for plain convs (profile, docs/BENCHMARKS.md round 3)
+    # prologue into the conv.  REJECTED on v5e — measured 79.65 vs 80.29
+    # img/min (docs/BENCHMARKS.md round 3: the fused emitter is already at
+    # ~75% of the true FLOP floor); kept as an identity-safe probe knob
+    # for other hardware generations
     conv_norm_barrier: bool = False
     # >0: compute long self-attention in query chunks of this size (identical
     # numerics, O(q_chunk·Lk) score memory instead of O(Lq·Lk)) — lifts the

@@ -20,9 +20,11 @@ transcendental).  Weights stream in (dim x bn) column blocks, so the
 level-2 geometry (W1 = 1280x10240, 26 MB bf16) works without ever
 holding a full weight matrix in VMEM.
 
-Differentiable via custom VJP: backward = jax.vjp of the plain XLA
-formulation (exactly the ops the un-fused path runs), so chain gradients
-match the einsum path; the kernel's win is the forward/serving path.
+Differentiable via custom VJP with a REAL fused dx backward kernel
+(h/g recomputed per tile in VMEM, NT dots, f32 dx accumulator): the
+spacetime chain differentiates the temporal coefficients only, so dx is
+the sole hot-path cotangent; dW/db remain plain XLA einsums in the VJP
+wrapper, DCE-pruned whenever params are frozen.
 """
 from __future__ import annotations
 
@@ -80,9 +82,10 @@ def ff_win(M: int, dim: int, inner: int) -> bool:
     dims, or 'all' for every dim <= 640)."""
     if dim > 640:
         return False
-    env = os.environ.get("DSTA_FF_DIMS", "")
+    env = os.environ.get("DSTA_FF_DIMS", "").strip()
     if env and env != "all":
-        if dim not in {int(s) for s in env.split(",")}:
+        allowed = {int(s) for s in env.split(",") if s.strip()}
+        if dim not in allowed:
             return False
     return ff_ok(M, dim, inner)
 
@@ -116,7 +119,11 @@ def _gelu_erf(x):
 
 
 def _ff_kernel(x_ref, w1h_ref, w1g_ref, b1h_ref, b1g_ref, w2_ref, b2_ref,
-               res_ref, o_ref, acc_ref, *, nj: int):
+               *rest, nj: int, has_res: bool):
+    # rest = (res_ref,)? + (o_ref, acc_ref) — res is a real operand only
+    # when the caller passes a residual (no zeros streamed otherwise)
+    res_ref = rest[0] if has_res else None
+    o_ref, acc_ref = rest[-2], rest[-1]
     j = pl.program_id(1)
     x = x_ref[...]
     h = jax.lax.dot_general(
@@ -143,10 +150,10 @@ def _ff_kernel(x_ref, w1h_ref, w1g_ref, b1h_ref, b1g_ref, w2_ref, b2_ref,
 
     @pl.when(j == nj - 1)
     def _():
-        o_ref[...] = (
-            acc_ref[...] + b2_ref[...]
-            + res_ref[...].astype(jnp.float32)
-        ).astype(o_ref.dtype)
+        out = acc_ref[...] + b2_ref[...]
+        if has_res:
+            out = out + res_ref[...].astype(jnp.float32)
+        o_ref[...] = out.astype(o_ref.dtype)
 
 
 def _ff_fwd_impl(x, w1, b1, w2, b2, res, interpret: bool):
@@ -162,20 +169,25 @@ def _ff_fwd_impl(x, w1, b1, w2, b2, res, interpret: bool):
     b1h = b1[:inner].reshape(1, inner)
     b1g = b1[inner:].reshape(1, inner)
     b2r = b2.reshape(1, dim)
-    kern = functools.partial(_ff_kernel, nj=nj)
+    has_res = res is not None
+    kern = functools.partial(_ff_kernel, nj=nj, has_res=has_res)
+    in_specs = [
+        pl.BlockSpec((bm, dim), lambda i, j: (i, 0)),
+        pl.BlockSpec((dim, bn), lambda i, j: (0, j)),
+        pl.BlockSpec((dim, bn), lambda i, j: (0, j)),
+        pl.BlockSpec((1, bn), lambda i, j: (0, j)),
+        pl.BlockSpec((1, bn), lambda i, j: (0, j)),
+        pl.BlockSpec((bn, dim), lambda i, j: (j, 0)),
+        pl.BlockSpec((1, dim), lambda i, j: (0, 0)),
+    ]
+    operands = [x, w1h, w1g, b1h, b1g, w2, b2r]
+    if has_res:
+        in_specs.append(pl.BlockSpec((bm, dim), lambda i, j: (i, 0)))
+        operands.append(res)
     return pl.pallas_call(
         kern,
         grid=(M // bm, nj),
-        in_specs=[
-            pl.BlockSpec((bm, dim), lambda i, j: (i, 0)),
-            pl.BlockSpec((dim, bn), lambda i, j: (0, j)),
-            pl.BlockSpec((dim, bn), lambda i, j: (0, j)),
-            pl.BlockSpec((1, bn), lambda i, j: (0, j)),
-            pl.BlockSpec((1, bn), lambda i, j: (0, j)),
-            pl.BlockSpec((bn, dim), lambda i, j: (j, 0)),
-            pl.BlockSpec((1, dim), lambda i, j: (0, 0)),
-            pl.BlockSpec((bm, dim), lambda i, j: (i, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, dim), lambda i, j: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((M, dim), x.dtype),
         scratch_shapes=[pltpu.VMEM((bm, dim), jnp.float32)],
@@ -185,7 +197,7 @@ def _ff_fwd_impl(x, w1, b1, w2, b2, res, interpret: bool):
             bytes_accessed=2 * (3 * M * dim + 3 * dim * inner),
             transcendentals=M * inner,
         ),
-    )(x, w1h, w1g, b1h, b1g, w2, b2r, res)
+    )(*operands)
 
 
 def _pick_blocks_bwd(M: int, dim: int, inner: int):
@@ -299,46 +311,32 @@ def _ff_dx(x, w1, b1, w2, dy, interpret: bool):
     )(x, dy, w1h, w1g, b1h, b1g, w2)
 
 
-def _xla_ref(x, w1, b1, w2, b2, res):
+def _xla_ref(x, w1, b1, w2, b2, res=None):
     """The un-fused formulation (matches models/layers.py
-    GEGLUFeedForward + residual); used for the VJP and as test oracle."""
+    GEGLUFeedForward + residual); used for the VJP fallback and as test
+    oracle.  res=None (an empty pytree to jax) skips the residual add."""
     inner = w2.shape[0]
     h = (jnp.dot(x, w1[:, :inner], preferred_element_type=jnp.float32)
          + b1[:inner])
     g = (jnp.dot(x, w1[:, inner:], preferred_element_type=jnp.float32)
          + b1[inner:])
     u = (h * _gelu_erf(g)).astype(x.dtype)
-    out = (jnp.dot(u, w2, preferred_element_type=jnp.float32) + b2
-           + res.astype(jnp.float32))
+    out = jnp.dot(u, w2, preferred_element_type=jnp.float32) + b2
+    if res is not None:
+        out = out + res.astype(jnp.float32)
     return out.astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def _ff(x, w1, b1, w2, b2, res, interpret: bool = False):
-    return _ff_fwd_impl(x, w1, b1, w2, b2, res, interpret)
-
-
-def _ff_vjp_fwd(x, w1, b1, w2, b2, res, interpret):
-    return _ff_fwd_impl(x, w1, b1, w2, b2, res, interpret), (x, w1, b1, w2,
-                                                             b2, res)
-
-
-def _ff_vjp_bwd(interpret, saved, gy):
-    """dx through the fused Pallas backward kernel (h/g recomputed in
-    VMEM); dW/db as plain XLA einsums that XLA's DCE prunes whenever the
-    params are frozen — which is the whole spacetime optimization chain
-    (grads flow to the temporal coefficients only, reference
-    `plms.py:204-293`).  Falls back to jax.vjp of the XLA formulation when
-    no backward blocking fits."""
-    x, w1, b1, w2, b2, res = saved
+def _param_and_dx_cotangents(x, w1, b1, w2, b2, gy, interpret):
+    """Shared backward math.  dx through the fused Pallas backward kernel
+    (h/g recomputed in VMEM); dW/db as plain XLA einsums that XLA's DCE
+    prunes whenever the params are frozen — which is the whole spacetime
+    optimization chain (grads flow to the temporal coefficients only,
+    reference `plms.py:204-293`).  dx falls back to the XLA formulation
+    when no backward blocking fits."""
     M, dim = x.shape
     inner = w2.shape[0]
-    if _pick_blocks_bwd(M, dim, inner) is None:
-        _, vjp = jax.vjp(_xla_ref, *saved)
-        return vjp(gy)
-    dx = _ff_dx(x, w1, b1, w2, gy, interpret)
     gf = gy.astype(jnp.float32)
-    # param cotangents (recompute h/g/u in XLA; pruned under frozen params)
     h = (jnp.dot(x, w1[:, :inner], preferred_element_type=jnp.float32)
          + b1[:inner])
     g = (jnp.dot(x, w1[:, inner:], preferred_element_type=jnp.float32)
@@ -350,6 +348,13 @@ def _ff_vjp_bwd(interpret, saved, gy):
                  preferred_element_type=jnp.float32)
     dh = du * (g * c)
     dg = du * (h * (c + g * phi))
+    if _pick_blocks_bwd(M, dim, inner) is not None:
+        dx = _ff_dx(x, w1, b1, w2, gy, interpret)
+    else:
+        dx = (jnp.dot(dh.astype(x.dtype), w1[:, :inner].T,
+                      preferred_element_type=jnp.float32)
+              + jnp.dot(dg.astype(x.dtype), w1[:, inner:].T,
+                        preferred_element_type=jnp.float32)).astype(x.dtype)
     dw2 = jnp.dot(u.T, gf, preferred_element_type=jnp.float32).astype(w2.dtype)
     db2 = jnp.sum(gf, axis=0).astype(b2.dtype)
     dw1 = jnp.concatenate([
@@ -357,21 +362,60 @@ def _ff_vjp_bwd(interpret, saved, gy):
         jnp.dot(x.T, dg.astype(x.dtype), preferred_element_type=jnp.float32),
     ], axis=1).astype(w1.dtype)
     db1 = jnp.concatenate([jnp.sum(dh, 0), jnp.sum(dg, 0)]).astype(b1.dtype)
-    dres = gy.astype(res.dtype)
-    return dx, dw1, db1, dw2, db2, dres
+    return dx, dw1, db1, dw2, db2
+
+
+# Two wrappers (with / without residual) so the no-residual call neither
+# streams a zeros operand through the kernel nor fabricates a cotangent.
+# res is never saved as a VJP residual: it enters the forward linearly, so
+# its cotangent is gy itself — saving it would keep an extra [M, dim]
+# activation alive from forward to backward at every FF site.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _ff(x, w1, b1, w2, b2, res, interpret: bool = False):
+    return _ff_fwd_impl(x, w1, b1, w2, b2, res, interpret)
+
+
+def _ff_vjp_fwd(x, w1, b1, w2, b2, res, interpret):
+    out = _ff_fwd_impl(x, w1, b1, w2, b2, res, interpret)
+    return out, (x, w1, b1, w2, b2)
+
+
+def _ff_vjp_bwd(interpret, saved, gy):
+    cots = _param_and_dx_cotangents(*saved, gy, interpret)
+    return (*cots, gy)
 
 
 _ff.defvjp(_ff_vjp_fwd, _ff_vjp_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _ff_nores(x, w1, b1, w2, b2, interpret: bool = False):
+    return _ff_fwd_impl(x, w1, b1, w2, b2, None, interpret)
+
+
+def _ff_nores_vjp_fwd(x, w1, b1, w2, b2, interpret):
+    out = _ff_fwd_impl(x, w1, b1, w2, b2, None, interpret)
+    return out, (x, w1, b1, w2, b2)
+
+
+def _ff_nores_vjp_bwd(interpret, saved, gy):
+    return _param_and_dx_cotangents(*saved, gy, interpret)
+
+
+_ff_nores.defvjp(_ff_nores_vjp_fwd, _ff_nores_vjp_bwd)
+
+
 def geglu_ff(x, w1, b1, w2, b2, residual=None, *, interpret: bool = False):
     """Fused GEGLU MLP.  x: [..., L, dim]; w1: [dim, 2*inner];
     b1: [2*inner]; w2: [inner, dim]; b2: [dim].  residual (same shape as
-    x) is added into the output inside the kernel when given."""
+    x) is added into the output inside the kernel when given; without it
+    no zeros are streamed — the add is compiled out."""
     shape = x.shape
     dim = shape[-1]
     x2 = x.reshape(-1, dim)
-    res = (jnp.zeros_like(x2) if residual is None
-           else residual.reshape(-1, dim).astype(x.dtype))
-    out = _ff(x2, w1, b1, w2, b2, res, interpret)
+    if residual is None:
+        out = _ff_nores(x2, w1, b1, w2, b2, interpret)
+    else:
+        res = residual.reshape(-1, dim).astype(x.dtype)
+        out = _ff(x2, w1, b1, w2, b2, res, interpret)
     return out.reshape(shape)

@@ -77,8 +77,12 @@ def device_leaf_durations(events):
 
 
 def strip_suffix(name):
-    """Aggregate `fusion.123` / `fusion.4` style clones into one row."""
-    return re.sub(r"[.\d]+$", "", name)
+    """Aggregate numeric-suffix clones into one row — except anonymous
+    `fusion.N` names, where N distinguishes UNRELATED computations (an
+    attention epilogue and a conv bias-add both become "fusion"): those
+    stay separate; use --hlo to attribute them to source ops."""
+    stripped = re.sub(r"[.\d]+$", "", name)
+    return name if stripped == "fusion" else stripped
 
 
 def load_hlo_meta(path):
