@@ -34,7 +34,9 @@ import os
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import NamedSharding, PartitionSpec
 
 
 def _pick_blocks(M: int, dim: int, inner: int):
@@ -156,13 +158,15 @@ def _ff_kernel(x_ref, w1h_ref, w1g_ref, b1h_ref, b1g_ref, w2_ref, b2_ref,
         o_ref[...] = out.astype(o_ref.dtype)
 
 
-def _ff_fwd_impl(x, w1, b1, w2, b2, res, interpret: bool):
+def _ff_fwd_local(x, w1, b1, w2, b2, res, interpret: bool):
+    """Single-shard pallas_call (local shapes).  Falls back to the XLA
+    formulation when the (possibly per-shard) M has no viable blocking —
+    under a data mesh each shard sees M/n rows."""
     M, dim = x.shape
     inner = w2.shape[0]
     blocks = _pick_blocks(M, dim, inner)
     if blocks is None:
-        raise ValueError(f"geglu kernel: no viable blocks for M={M}, "
-                         f"dim={dim}, inner={inner} (check ff_ok first)")
+        return _xla_ref(x, w1, b1, w2, b2, res)
     bm, bn = blocks
     nj = inner // bn
     w1h, w1g = w1[:, :inner], w1[:, inner:]
@@ -278,10 +282,32 @@ def _ff_bwd_kernel(x_ref, dy_ref, w1h_ref, w1g_ref, b1h_ref, b1g_ref,
         dx_ref[...] = acc_ref[...].astype(dx_ref.dtype)
 
 
-def _ff_dx(x, w1, b1, w2, dy, interpret: bool):
+def _xla_dx(x, w1, b1, w2, dy):
+    """Plain-XLA dx (used when no backward blocking fits the local M)."""
+    inner = w2.shape[0]
+    gf = dy.astype(jnp.float32)
+    h = (jnp.dot(x, w1[:, :inner], preferred_element_type=jnp.float32)
+         + b1[:inner])
+    g = (jnp.dot(x, w1[:, inner:], preferred_element_type=jnp.float32)
+         + b1[inner:])
+    c = 0.5 * (1.0 + _erf(g * _INV_SQRT2))
+    phi = jnp.exp(-0.5 * g * g) * _INV_SQRT2PI
+    du = jnp.dot(gf, w2.T.astype(jnp.float32),
+                 preferred_element_type=jnp.float32)
+    dh = (du * (g * c)).astype(x.dtype)
+    dg = (du * (h * (c + g * phi))).astype(x.dtype)
+    return (jnp.dot(dh, w1[:, :inner].T, preferred_element_type=jnp.float32)
+            + jnp.dot(dg, w1[:, inner:].T,
+                      preferred_element_type=jnp.float32)).astype(x.dtype)
+
+
+def _ff_dx_local(x, w1, b1, w2, dy, interpret: bool):
     M, dim = x.shape
     inner = w2.shape[0]
-    bm, bn = _pick_blocks_bwd(M, dim, inner)
+    blocks = _pick_blocks_bwd(M, dim, inner)
+    if blocks is None:
+        return _xla_dx(x, w1, b1, w2, dy)
+    bm, bn = blocks
     nj = inner // bn
     w1h, w1g = w1[:, :inner], w1[:, inner:]
     b1h = b1[:inner].reshape(1, inner)
@@ -348,13 +374,7 @@ def _param_and_dx_cotangents(x, w1, b1, w2, b2, gy, interpret):
                  preferred_element_type=jnp.float32)
     dh = du * (g * c)
     dg = du * (h * (c + g * phi))
-    if _pick_blocks_bwd(M, dim, inner) is not None:
-        dx = _ff_dx(x, w1, b1, w2, gy, interpret)
-    else:
-        dx = (jnp.dot(dh.astype(x.dtype), w1[:, :inner].T,
-                      preferred_element_type=jnp.float32)
-              + jnp.dot(dg.astype(x.dtype), w1[:, inner:].T,
-                        preferred_element_type=jnp.float32)).astype(x.dtype)
+    dx = _ff_dx_p(x, w1, b1, w2, gy, interpret)
     dw2 = jnp.dot(u.T, gf, preferred_element_type=jnp.float32).astype(w2.dtype)
     db2 = jnp.sum(gf, axis=0).astype(b2.dtype)
     dw1 = jnp.concatenate([
@@ -365,6 +385,70 @@ def _param_and_dx_cotangents(x, w1, b1, w2, b2, gy, interpret):
     return dx, dw1, db1, dw2, db2
 
 
+# --- SPMD partitioning -----------------------------------------------------
+# Under a GSPMD/Shardy mesh an un-annotated pallas_call is replicated (the
+# partitioner inserts an all-gather and every chip runs the full batch).
+# All three kernels are row-parallel over M = folded batch·L with weights
+# broadcast, so declare exactly that: batch-rowed operands keep their row
+# sharding, weights/biases are replicated, each shard runs the kernel on
+# its local rows.  The local lowering re-picks blocks for the per-shard M
+# and falls back to the XLA formulation if none fits.
+
+
+def _pin_rows(row_arg_idxs, make_lower):
+    """partition callback: row-shard the operands in `row_arg_idxs` along
+    whatever mesh axis the first of them arrived sharded on; replicate the
+    rest; result is row-sharded the same way."""
+
+    def partition(interpret, mesh, arg_shapes, result_shape):
+        spec0 = arg_shapes[row_arg_idxs[0]].sharding.spec
+        row = spec0[0] if len(spec0) else None
+
+        def sh(i, s):
+            nd = len(s.shape)
+            if i in row_arg_idxs:
+                return NamedSharding(mesh, PartitionSpec(
+                    row, *([None] * (nd - 1))))
+            return NamedSharding(mesh, PartitionSpec(*([None] * nd)))
+
+        arg_sh = tuple(sh(i, s) for i, s in enumerate(arg_shapes))
+        res_sh = NamedSharding(mesh, PartitionSpec(row, None))
+        return mesh, make_lower(interpret), res_sh, arg_sh
+
+    return partition
+
+
+_ff_fwd_res_p = custom_partitioning(
+    lambda x, w1, b1, w2, b2, res, interpret: _ff_fwd_local(
+        x, w1, b1, w2, b2, res, interpret),
+    static_argnums=(6,))
+_ff_fwd_res_p.def_partition(
+    partition=_pin_rows((0, 5), lambda interp: (
+        lambda x, w1, b1, w2, b2, res: _ff_fwd_local(
+            x, w1, b1, w2, b2, res, interp))),
+    sharding_rule="m d, a b, c, e f, g, m h -> m d")
+
+_ff_fwd_nores_p = custom_partitioning(
+    lambda x, w1, b1, w2, b2, interpret: _ff_fwd_local(
+        x, w1, b1, w2, b2, None, interpret),
+    static_argnums=(5,))
+_ff_fwd_nores_p.def_partition(
+    partition=_pin_rows((0,), lambda interp: (
+        lambda x, w1, b1, w2, b2: _ff_fwd_local(
+            x, w1, b1, w2, b2, None, interp))),
+    sharding_rule="m d, a b, c, e f, g -> m d")
+
+_ff_dx_p = custom_partitioning(
+    lambda x, w1, b1, w2, dy, interpret: _ff_dx_local(
+        x, w1, b1, w2, dy, interpret),
+    static_argnums=(5,))
+_ff_dx_p.def_partition(
+    partition=_pin_rows((0, 4), lambda interp: (
+        lambda x, w1, b1, w2, dy: _ff_dx_local(
+            x, w1, b1, w2, dy, interp))),
+    sharding_rule="m d, a b, c, e f, m h -> m d")
+
+
 # Two wrappers (with / without residual) so the no-residual call neither
 # streams a zeros operand through the kernel nor fabricates a cotangent.
 # res is never saved as a VJP residual: it enters the forward linearly, so
@@ -372,11 +456,11 @@ def _param_and_dx_cotangents(x, w1, b1, w2, b2, gy, interpret):
 # activation alive from forward to backward at every FF site.
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
 def _ff(x, w1, b1, w2, b2, res, interpret: bool = False):
-    return _ff_fwd_impl(x, w1, b1, w2, b2, res, interpret)
+    return _ff_fwd_res_p(x, w1, b1, w2, b2, res, interpret)
 
 
 def _ff_vjp_fwd(x, w1, b1, w2, b2, res, interpret):
-    out = _ff_fwd_impl(x, w1, b1, w2, b2, res, interpret)
+    out = _ff_fwd_res_p(x, w1, b1, w2, b2, res, interpret)
     return out, (x, w1, b1, w2, b2)
 
 
@@ -390,11 +474,11 @@ _ff.defvjp(_ff_vjp_fwd, _ff_vjp_bwd)
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def _ff_nores(x, w1, b1, w2, b2, interpret: bool = False):
-    return _ff_fwd_impl(x, w1, b1, w2, b2, None, interpret)
+    return _ff_fwd_nores_p(x, w1, b1, w2, b2, interpret)
 
 
 def _ff_nores_vjp_fwd(x, w1, b1, w2, b2, interpret):
-    out = _ff_fwd_impl(x, w1, b1, w2, b2, None, interpret)
+    out = _ff_fwd_nores_p(x, w1, b1, w2, b2, interpret)
     return out, (x, w1, b1, w2, b2)
 
 

@@ -32,6 +32,8 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec
 from jax.experimental.pallas import tpu as pltpu
 
 
@@ -118,14 +120,37 @@ def _mha_fwd_impl(q, k, v, scale: float, interpret: bool):
     )(q, k, v)
 
 
+# SPMD: an un-annotated pallas_call is replicated under GSPMD/Shardy
+# (all-gather + full-batch kernel on every chip).  The kernel is
+# batch-parallel over B*H with nothing shared across rows, so declare it:
+# all operands and the result shard on the leading dim, each shard runs
+# the kernel on its local batch slice.
+_mha_fwd_p = custom_partitioning(
+    lambda q, k, v, scale, interpret: _mha_fwd_impl(q, k, v, scale,
+                                                    interpret),
+    static_argnums=(3, 4))
+
+
+def _mha_partition(scale, interpret, mesh, arg_shapes, result_shape):
+    spec0 = arg_shapes[0].sharding.spec
+    b = spec0[0] if len(spec0) else None
+    sh3 = NamedSharding(mesh, PartitionSpec(b, None, None))
+    lower = lambda q, k, v: _mha_fwd_impl(q, k, v, scale, interpret)
+    return mesh, lower, sh3, (sh3, sh3, sh3)
+
+
+_mha_fwd_p.def_partition(partition=_mha_partition,
+                         sharding_rule="b q d, b k e, b l f -> b q d")
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _mha_bh(q, k, v, scale: float, interpret: bool = False):
     """Attention on head-split tensors [B*H, L, d]."""
-    return _mha_fwd_impl(q, k, v, scale, interpret)
+    return _mha_fwd_p(q, k, v, scale, interpret)
 
 
 def _mha_bh_fwd(q, k, v, scale, interpret):
-    return _mha_fwd_impl(q, k, v, scale, interpret), (q, k, v)
+    return _mha_fwd_p(q, k, v, scale, interpret), (q, k, v)
 
 
 def _mha_bh_bwd(scale, interpret, res, g):

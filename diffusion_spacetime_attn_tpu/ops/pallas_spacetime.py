@@ -32,6 +32,8 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec
 from jax.experimental.pallas import tpu as pltpu
 
 LK_PAD = 128
@@ -311,19 +313,72 @@ def _backward(q_c, g_u, kc, vc, lk, lv, masks, coef, num_heads, g,
     return dq_c, dg_u, dkc_o, dvc_o, dlk_o, dlv_o, dmasks, dcoef
 
 
+# SPMD: both pallas_calls are batch-parallel over B (per-prompt blend, no
+# cross-batch terms), so under a GSPMD/Shardy data mesh each shard runs on
+# its local prompts instead of the partitioner replicating the kernel
+# behind an all-gather.  Partitioned at the _forward/_backward level so the
+# head-split/pad reshapes stay local too.
+
+
+def _batch_partition(n_args, make_lower, n_results=1):
+    def partition(*args):
+        # statics (from static_argnums) are prepended by custom_partitioning
+        *statics, mesh, arg_shapes, result_shape = args
+        spec0 = arg_shapes[0].sharding.spec
+        b = spec0[0] if len(spec0) else None
+
+        def sh(s):
+            return NamedSharding(mesh, PartitionSpec(
+                b, *([None] * (len(s.shape) - 1))))
+
+        arg_sh = tuple(sh(s) for s in arg_shapes[:n_args])
+        if n_results == 1:
+            res_sh = sh(result_shape)
+        else:
+            res_sh = tuple(sh(s) for s in result_shape)
+        return mesh, make_lower(*statics), res_sh, arg_sh
+
+    return partition
+
+
+_forward_p = custom_partitioning(
+    # late-binding so tests (and debugging) can monkeypatch _forward to
+    # interpret mode; interpret stays out of this wrapper's signature
+    lambda q_c, g_u, kc, vc, lk, lv, masks, coef, num_heads: _forward(
+        q_c, g_u, kc, vc, lk, lv, masks, coef, num_heads),
+    static_argnums=(8,))
+_forward_p.def_partition(
+    partition=_batch_partition(8, lambda nh: (
+        lambda *a: _forward(*a, nh))),
+    sharding_rule=("b q1 q2, b q3 q4, b q5 q6, b q7 q8, b q9 qa qb, "
+                   "b qc qd qe, b qf qg, b qh -> b q1 q2"))
+
+_backward_p = custom_partitioning(
+    lambda q_c, g_u, kc, vc, lk, lv, masks, coef, g, num_heads: _backward(
+        q_c, g_u, kc, vc, lk, lv, masks, coef, num_heads, g),
+    static_argnums=(9,))
+_backward_p.def_partition(
+    partition=_batch_partition(9, lambda nh: (
+        lambda *a: _backward(*a[:8], nh, a[8])), n_results=8),
+    sharding_rule=("b q1 q2, b q3 q4, b q5 q6, b q7 q8, b q9 qa qb, "
+                   "b qc qd qe, b qf qg, b qh, b qi qj -> "
+                   "b q1 q2, b q3 q4, b q5 q6, b q7 q8, b q9 qa qb, "
+                   "b qc qd qe, b qf qg, b qh"))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
 def fused_spacetime_attention(q_c, g_u, kc, vc, lk, lv, masks, coef, num_heads):
-    return _forward(q_c, g_u, kc, vc, lk, lv, masks, coef, num_heads)
+    return _forward_p(q_c, g_u, kc, vc, lk, lv, masks, coef, num_heads)
 
 
 def _fwd(q_c, g_u, kc, vc, lk, lv, masks, coef, num_heads):
-    out = _forward(q_c, g_u, kc, vc, lk, lv, masks, coef, num_heads)
+    out = _forward_p(q_c, g_u, kc, vc, lk, lv, masks, coef, num_heads)
     return out, (q_c, g_u, kc, vc, lk, lv, masks, coef)
 
 
 def _bwd(num_heads, res, g):
     q_c, g_u, kc, vc, lk, lv, masks, coef = res
-    return _backward(q_c, g_u, kc, vc, lk, lv, masks, coef, num_heads, g)
+    return _backward_p(q_c, g_u, kc, vc, lk, lv, masks, coef, g, num_heads)
 
 
 fused_spacetime_attention.defvjp(_fwd, _bwd)

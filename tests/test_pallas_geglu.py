@@ -230,3 +230,50 @@ def test_block_pickers_divide_and_fit(picker_name):
                         + 3 * bm * bn * 4 + bm * dim * 4 + 2 * bm * dim * 2)
             assert vmem <= 12 * 1024 * 1024
     assert picker(7, 320, 1280) is None  # indivisible M
+
+
+def test_spmd_partitioning_no_allgather():
+    """Under a GSPMD data mesh the kernel partitions row-wise (weights
+    replicated) instead of being replicated behind an all-gather — the
+    failure mode for un-annotated pallas_calls that would silently void
+    data-parallel scaling in mesh-sharded serving."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs the 8-device CPU mesh (conftest)")
+    mesh = Mesh(np.array(devs[:8]).reshape(8), ("data",))
+    M, dim = 64, 320
+    inner = dim * 4
+    x, w1, b1, w2, b2, res = _inputs(M, dim, inner, seed=31)
+
+    def f(x, w1, b1, w2, b2, res):
+        return geglu_ff(x, w1, b1, w2, b2, res, interpret=True)
+
+    want = f(x, w1, b1, w2, b2, res)
+    row = NamedSharding(mesh, P("data", None))
+    rep1 = lambda a: NamedSharding(mesh, P(*([None] * a.ndim)))
+    args = (jax.device_put(x, row), jax.device_put(w1, rep1(w1)),
+            jax.device_put(b1, rep1(b1)), jax.device_put(w2, rep1(w2)),
+            jax.device_put(b2, rep1(b2)), jax.device_put(res, row))
+    jitted = jax.jit(f, in_shardings=(row, rep1(w1), rep1(b1), rep1(w2),
+                                      rep1(b2), row), out_shardings=row)
+    hlo = jitted.lower(*args).compile().as_text()
+    assert "all-gather" not in hlo and "all_gather" not in hlo
+    got = jitted(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+    # gradient path partitions too (dx kernel + DCE'd param einsums)
+    cot = jnp.asarray(np.random.RandomState(32).randn(M, dim), jnp.float32)
+    cot_s = jax.device_put(cot, row)
+
+    def loss(x, w1, b1, w2, b2, res, cot):
+        return jnp.sum(geglu_ff(x, w1, b1, w2, b2, res, interpret=True) * cot)
+
+    gfn = jax.jit(jax.grad(loss, argnums=(0, 5)))
+    gwant = jax.grad(loss, argnums=(0, 5))(x, w1, b1, w2, b2, res, cot)
+    ggot = gfn(*args, cot_s)
+    for w, g in zip(gwant, ggot):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=1e-5, rtol=1e-5)

@@ -100,3 +100,33 @@ def test_attention_mha_flag_falls_back_off_tpu():
     np.testing.assert_allclose(
         np.asarray(attention(q, k, v, H, mha=True)),
         np.asarray(attention(q, k, v, H)), atol=0, rtol=0)
+
+
+def test_spmd_partitioning_no_allgather():
+    """Under a GSPMD data mesh the kernel partitions over B*H instead of
+    being replicated behind an all-gather."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from diffusion_spacetime_attn_tpu.ops.pallas_mha import _mha_bh
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs the 8-device CPU mesh (conftest)")
+    mesh = Mesh(np.array(devs[:8]).reshape(8), ("data",))
+    BH, L, d = 16, 128, 64
+    r = np.random.RandomState(41)
+    q = jnp.asarray(r.randn(BH, L, d), jnp.float32)
+    k = jnp.asarray(r.randn(BH, L, d), jnp.float32)
+    v = jnp.asarray(r.randn(BH, L, d), jnp.float32)
+
+    def f(q, k, v):
+        return _mha_bh(q, k, v, d ** -0.5, True)
+
+    want = f(q, k, v)
+    row = NamedSharding(mesh, P("data", None, None))
+    args = tuple(jax.device_put(a, row) for a in (q, k, v))
+    jitted = jax.jit(f, in_shardings=(row,) * 3, out_shardings=row)
+    hlo = jitted.lower(*args).compile().as_text()
+    assert "all-gather" not in hlo and "all_gather" not in hlo
+    got = jitted(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)

@@ -157,3 +157,44 @@ def test_fused_control_through_sampling_chain():
                                    rtol=5e-2, atol=1e-4)
     finally:
         ps._forward, ps._backward = of, ob
+
+
+def test_spmd_partitioning_no_allgather():
+    """The fused control op partitions over the prompt batch under a data
+    mesh (forward AND backward) — no all-gather, per-shard kernels."""
+    import diffusion_spacetime_attn_tpu.ops.pallas_spacetime as ps
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs the 8-device CPU mesh (conftest)")
+    mesh = Mesh(np.array(devs[:8]).reshape(8), ("data",))
+    args = make_inputs(B=8, N=2, Lq=128, inner=32, heads=2, seed=5)
+
+    orig_f, orig_b = ps._forward, ps._backward
+    ps._forward = lambda *a, **k: orig_f(*a, interpret=True)
+    ps._backward = lambda *a, **k: orig_b(*a, interpret=True)
+    try:
+        def loss(q, coef):
+            out = ps.fused_spacetime_attention(
+                q, args[1], args[2], args[3], args[4], args[5], args[6],
+                coef, 2)
+            return jnp.sum(out ** 2)
+
+        gfn = jax.grad(loss, argnums=(0, 1))
+        want = gfn(args[0], args[7])
+
+        row3 = NamedSharding(mesh, P("data", None, None))
+        row2 = NamedSharding(mesh, P("data", None))
+        qs = jax.device_put(args[0], row3)
+        cs = jax.device_put(args[7], row2)
+        jitted = jax.jit(gfn, in_shardings=(row3, row2),
+                         out_shardings=(row3, row2))
+        hlo = jitted.lower(qs, cs).compile().as_text()
+        assert "all-gather" not in hlo and "all_gather" not in hlo
+        got = jitted(qs, cs)
+        for w, g in zip(want, got):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       atol=1e-4, rtol=1e-4)
+    finally:
+        ps._forward, ps._backward = orig_f, orig_b
