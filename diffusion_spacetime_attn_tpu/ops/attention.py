@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -91,6 +93,94 @@ def _splash_kernel(num_heads: int, Lq: int, Lk: int, interpret: bool = False):
                                             interpret=interpret)
 
 
+def _make_splash_spmd(num_heads, Lq, Lk, interpret):
+    """SPMD-partitioned splash (opt-in via DSTA_SPLASH_SPMD=1).
+
+    Splash's custom VJP lives INSIDE the kernel and jax cannot
+    differentiate through custom_partitioning — so this wraps splash in
+    its own custom_vjp whose forward and backward are each a
+    batch-partitioned unit.  custom_partitioning also rejects closure
+    constants, and the splash kernel instance is a pytree holding
+    mask-layout arrays — those leaves are passed as explicit replicated
+    operands instead.  Cost: the backward re-runs the splash forward once
+    (jax.vjp residual rebuild) — worth it only under a multi-chip mesh,
+    where the alternative is GSPMD replicating the kernel behind an
+    all-gather (no data-parallel scaling); single-chip chains keep the
+    plain path and its measured numbers.
+    """
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    kern = _splash_kernel(num_heads, Lq, Lk, interpret=interpret)
+    leaves, treedef = jax.tree_util.tree_flatten(kern)
+    n_leaves = len(leaves)
+
+    def run_fwd(qh, kh, vh, *kleaves):
+        k_obj = jax.tree_util.tree_unflatten(treedef, kleaves)
+        return jax.vmap(k_obj)(qh, kh, vh)
+
+    def run_grads(qh, kh, vh, g, *kleaves):
+        _, vjp = jax.vjp(lambda a, b, c: run_fwd(a, b, c, *kleaves),
+                         qh, kh, vh)
+        return vjp(g)
+
+    def batch_partition(n_row, lower, n_results=1):
+        def partition(mesh, arg_shapes, result_shape):
+            spec0 = arg_shapes[0].sharding.spec
+            b = spec0[0] if len(spec0) else None
+
+            def sh(s, rowed):
+                lead = b if rowed else None
+                return NamedSharding(mesh, PartitionSpec(
+                    lead, *([None] * (len(s.shape) - 1))))
+
+            arg_sh = tuple(sh(s, i < n_row)
+                           for i, s in enumerate(arg_shapes))
+            res_sh = (sh(result_shape, True) if n_results == 1
+                      else tuple(sh(s, True) for s in result_shape))
+            return mesh, lower, res_sh, arg_sh
+
+        return partition
+
+    # operand factor strings: unique factors everywhere except the shared
+    # batch factor on the row-sharded args and results
+    def fresh_dims(rank, it, lead=None):
+        parts = ([lead] if lead else []) + [f"z{next(it)}"
+                                            for _ in range(rank - (1 if lead else 0))]
+        return " ".join(parts)
+
+    import itertools
+    cnt = itertools.count()
+    qd, kd, vd = (fresh_dims(4, cnt, "b") for _ in range(3))
+    leaf_dims = [fresh_dims(jnp.ndim(l), cnt) for l in leaves]
+
+    fwd_p = custom_partitioning(run_fwd)
+    fwd_rule = ", ".join([qd, kd, vd] + leaf_dims) + f" -> {qd}"
+    fwd_p.def_partition(partition=batch_partition(3, run_fwd),
+                        sharding_rule=fwd_rule)
+
+    gd = fresh_dims(4, cnt, "b")
+    grads_p = custom_partitioning(run_grads)
+    grads_rule = (", ".join([qd, kd, vd, gd] + leaf_dims)
+                  + f" -> {qd}, {kd}, {vd}")
+    grads_p.def_partition(
+        partition=batch_partition(4, run_grads, n_results=3),
+        sharding_rule=grads_rule)
+
+    @jax.custom_vjp
+    def splash_spmd(qh, kh, vh):
+        return fwd_p(qh, kh, vh, *leaves)
+
+    def _f(qh, kh, vh):
+        return fwd_p(qh, kh, vh, *leaves), (qh, kh, vh)
+
+    def _b(saved, g):
+        return grads_p(*saved, g, *leaves)
+
+    splash_spmd.defvjp(_f, _b)
+    return splash_spmd
+
+
 def flash_attention(q, k, v, num_heads: int, interpret: bool = False):
     """Pallas TPU splash attention on [B, L, H*Dh] tensors.
 
@@ -102,11 +192,17 @@ def flash_attention(q, k, v, num_heads: int, interpret: bool = False):
     """
     B, Lq, inner = q.shape
     dh = inner // num_heads
-    kern = _splash_kernel(num_heads, Lq, k.shape[-2], interpret=interpret)
     qh = jnp.swapaxes(q.reshape(B, Lq, num_heads, dh), 1, 2) * (dh ** -0.5)
     kh = jnp.swapaxes(k.reshape(B, -1, num_heads, dh), 1, 2)
     vh = jnp.swapaxes(v.reshape(B, -1, num_heads, dh), 1, 2)
-    out = jax.vmap(kern)(qh.astype(kh.dtype), kh, vh)
+    import os as _os
+
+    if _os.environ.get("DSTA_SPLASH_SPMD", "") == "1":
+        spmd = _make_splash_spmd(num_heads, Lq, k.shape[-2], interpret)
+        out = spmd(qh.astype(kh.dtype), kh, vh)
+    else:
+        kern = _splash_kernel(num_heads, Lq, k.shape[-2], interpret=interpret)
+        out = jax.vmap(kern)(qh.astype(kh.dtype), kh, vh)
     return jnp.swapaxes(out, 1, 2).reshape(B, Lq, inner)
 
 

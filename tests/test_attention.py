@@ -225,3 +225,38 @@ def test_splash_flash_attention_interpret_matches_xla():
                                                     interpret=True) ** 2))(q)
     assert g.shape == q.shape and bool(jnp.all(jnp.isfinite(g)))
     assert float(jnp.abs(g).max()) > 0.0
+
+
+def test_splash_spmd_partitioning(monkeypatch):
+    """DSTA_SPLASH_SPMD=1 partitions splash over the batch under a data
+    mesh — no all-gather, grads match the plain path (the plain pallas
+    call would be GSPMD-replicated, voiding data-parallel chain scaling)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from diffusion_spacetime_attn_tpu.ops.attention import flash_attention
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs the 8-device CPU mesh (conftest)")
+    mesh = Mesh(np.array(devs[:8]).reshape(8), ("data",))
+    B, H, L, dh = 8, 2, 1024, 32
+    r = np.random.RandomState(17)
+    q = jnp.asarray(r.randn(B, L, H * dh), jnp.float32)
+    k = jnp.asarray(r.randn(B, L, H * dh), jnp.float32)
+    v = jnp.asarray(r.randn(B, L, H * dh), jnp.float32)
+
+    def loss(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, H, interpret=True) ** 2)
+
+    gfn = jax.grad(loss, argnums=(0, 1, 2))
+    want = gfn(q, k, v)          # plain path, unsharded oracle
+
+    monkeypatch.setenv("DSTA_SPLASH_SPMD", "1")
+    row = NamedSharding(mesh, P("data", None, None))
+    args = tuple(jax.device_put(a, row) for a in (q, k, v))
+    jitted = jax.jit(gfn, in_shardings=(row,) * 3, out_shardings=(row,) * 3)
+    hlo = jitted.lower(*args).compile().as_text()
+    assert "all-gather" not in hlo and "all_gather" not in hlo
+    got = jitted(*args)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=2e-3, rtol=2e-3)
