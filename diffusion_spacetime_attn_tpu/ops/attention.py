@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from .masks import flat_circular_mask
+from .spmd import batch_partition
 
 
 class SpatialControl(NamedTuple):
@@ -124,24 +125,6 @@ def _make_splash_spmd(num_heads, Lq, Lk, interpret):
                          qh, kh, vh)
         return vjp(g)
 
-    def batch_partition(n_row, lower, n_results=1):
-        def partition(mesh, arg_shapes, result_shape):
-            spec0 = arg_shapes[0].sharding.spec
-            b = spec0[0] if len(spec0) else None
-
-            def sh(s, rowed):
-                lead = b if rowed else None
-                return NamedSharding(mesh, PartitionSpec(
-                    lead, *([None] * (len(s.shape) - 1))))
-
-            arg_sh = tuple(sh(s, i < n_row)
-                           for i, s in enumerate(arg_shapes))
-            res_sh = (sh(result_shape, True) if n_results == 1
-                      else tuple(sh(s, True) for s in result_shape))
-            return mesh, lower, res_sh, arg_sh
-
-        return partition
-
     # operand factor strings: unique factors everywhere except the shared
     # batch factor on the row-sharded args and results
     def fresh_dims(rank, it, lead=None):
@@ -156,15 +139,17 @@ def _make_splash_spmd(num_heads, Lq, Lk, interpret):
 
     fwd_p = custom_partitioning(run_fwd)
     fwd_rule = ", ".join([qd, kd, vd] + leaf_dims) + f" -> {qd}"
-    fwd_p.def_partition(partition=batch_partition(3, run_fwd),
-                        sharding_rule=fwd_rule)
+    fwd_p.def_partition(
+        partition=batch_partition((0, 1, 2), lambda: run_fwd),
+        sharding_rule=fwd_rule)
 
     gd = fresh_dims(4, cnt, "b")
     grads_p = custom_partitioning(run_grads)
     grads_rule = (", ".join([qd, kd, vd, gd] + leaf_dims)
                   + f" -> {qd}, {kd}, {vd}")
     grads_p.def_partition(
-        partition=batch_partition(4, run_grads, n_results=3),
+        partition=batch_partition((0, 1, 2, 3), lambda: run_grads,
+                                  n_results=3),
         sharding_rule=grads_rule)
 
     @jax.custom_vjp

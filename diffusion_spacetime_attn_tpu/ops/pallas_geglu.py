@@ -36,7 +36,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
-from jax.sharding import NamedSharding, PartitionSpec
+
+from .spmd import batch_partition
 
 
 def _pick_blocks(M: int, dim: int, inner: int):
@@ -395,35 +396,12 @@ def _param_and_dx_cotangents(x, w1, b1, w2, b2, gy, interpret):
 # and falls back to the XLA formulation if none fits.
 
 
-def _pin_rows(row_arg_idxs, make_lower):
-    """partition callback: row-shard the operands in `row_arg_idxs` along
-    whatever mesh axis the first of them arrived sharded on; replicate the
-    rest; result is row-sharded the same way."""
-
-    def partition(interpret, mesh, arg_shapes, result_shape):
-        spec0 = arg_shapes[row_arg_idxs[0]].sharding.spec
-        row = spec0[0] if len(spec0) else None
-
-        def sh(i, s):
-            nd = len(s.shape)
-            if i in row_arg_idxs:
-                return NamedSharding(mesh, PartitionSpec(
-                    row, *([None] * (nd - 1))))
-            return NamedSharding(mesh, PartitionSpec(*([None] * nd)))
-
-        arg_sh = tuple(sh(i, s) for i, s in enumerate(arg_shapes))
-        res_sh = NamedSharding(mesh, PartitionSpec(row, None))
-        return mesh, make_lower(interpret), res_sh, arg_sh
-
-    return partition
-
-
 _ff_fwd_res_p = custom_partitioning(
     lambda x, w1, b1, w2, b2, res, interpret: _ff_fwd_local(
         x, w1, b1, w2, b2, res, interpret),
     static_argnums=(6,))
 _ff_fwd_res_p.def_partition(
-    partition=_pin_rows((0, 5), lambda interp: (
+    partition=batch_partition((0, 5), lambda interp: (
         lambda x, w1, b1, w2, b2, res: _ff_fwd_local(
             x, w1, b1, w2, b2, res, interp))),
     sharding_rule="m d, a b, c, e f, g, m h -> m d")
@@ -433,7 +411,7 @@ _ff_fwd_nores_p = custom_partitioning(
         x, w1, b1, w2, b2, None, interpret),
     static_argnums=(5,))
 _ff_fwd_nores_p.def_partition(
-    partition=_pin_rows((0,), lambda interp: (
+    partition=batch_partition((0,), lambda interp: (
         lambda x, w1, b1, w2, b2: _ff_fwd_local(
             x, w1, b1, w2, b2, None, interp))),
     sharding_rule="m d, a b, c, e f, g -> m d")
@@ -443,7 +421,7 @@ _ff_dx_p = custom_partitioning(
         x, w1, b1, w2, dy, interpret),
     static_argnums=(5,))
 _ff_dx_p.def_partition(
-    partition=_pin_rows((0, 4), lambda interp: (
+    partition=batch_partition((0, 4), lambda interp: (
         lambda x, w1, b1, w2, dy: _ff_dx_local(
             x, w1, b1, w2, dy, interp))),
     sharding_rule="m d, a b, c, e f, m h -> m d")

@@ -33,7 +33,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.custom_partitioning import custom_partitioning
-from jax.sharding import NamedSharding, PartitionSpec
+
+from .spmd import batch_partition
 from jax.experimental.pallas import tpu as pltpu
 
 
@@ -131,16 +132,10 @@ _mha_fwd_p = custom_partitioning(
     static_argnums=(3, 4))
 
 
-def _mha_partition(scale, interpret, mesh, arg_shapes, result_shape):
-    spec0 = arg_shapes[0].sharding.spec
-    b = spec0[0] if len(spec0) else None
-    sh3 = NamedSharding(mesh, PartitionSpec(b, None, None))
-    lower = lambda q, k, v: _mha_fwd_impl(q, k, v, scale, interpret)
-    return mesh, lower, sh3, (sh3, sh3, sh3)
-
-
-_mha_fwd_p.def_partition(partition=_mha_partition,
-                         sharding_rule="b q d, b k e, b l f -> b q d")
+_mha_fwd_p.def_partition(
+    partition=batch_partition((0, 1, 2), lambda scale, interp: (
+        lambda q, k, v: _mha_fwd_impl(q, k, v, scale, interp))),
+    sharding_rule="b q d, b k e, b l f -> b q d")
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))

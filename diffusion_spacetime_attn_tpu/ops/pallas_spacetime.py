@@ -33,7 +33,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.custom_partitioning import custom_partitioning
-from jax.sharding import NamedSharding, PartitionSpec
+
+from .spmd import batch_partition
 from jax.experimental.pallas import tpu as pltpu
 
 LK_PAD = 128
@@ -320,27 +321,6 @@ def _backward(q_c, g_u, kc, vc, lk, lv, masks, coef, num_heads, g,
 # head-split/pad reshapes stay local too.
 
 
-def _batch_partition(n_args, make_lower, n_results=1):
-    def partition(*args):
-        # statics (from static_argnums) are prepended by custom_partitioning
-        *statics, mesh, arg_shapes, result_shape = args
-        spec0 = arg_shapes[0].sharding.spec
-        b = spec0[0] if len(spec0) else None
-
-        def sh(s):
-            return NamedSharding(mesh, PartitionSpec(
-                b, *([None] * (len(s.shape) - 1))))
-
-        arg_sh = tuple(sh(s) for s in arg_shapes[:n_args])
-        if n_results == 1:
-            res_sh = sh(result_shape)
-        else:
-            res_sh = tuple(sh(s) for s in result_shape)
-        return mesh, make_lower(*statics), res_sh, arg_sh
-
-    return partition
-
-
 _forward_p = custom_partitioning(
     # late-binding so tests (and debugging) can monkeypatch _forward to
     # interpret mode; interpret stays out of this wrapper's signature
@@ -348,7 +328,7 @@ _forward_p = custom_partitioning(
         q_c, g_u, kc, vc, lk, lv, masks, coef, num_heads),
     static_argnums=(8,))
 _forward_p.def_partition(
-    partition=_batch_partition(8, lambda nh: (
+    partition=batch_partition(tuple(range(8)), lambda nh: (
         lambda *a: _forward(*a, nh))),
     sharding_rule=("b q1 q2, b q3 q4, b q5 q6, b q7 q8, b q9 qa qb, "
                    "b qc qd qe, b qf qg, b qh -> b q1 q2"))
@@ -358,7 +338,7 @@ _backward_p = custom_partitioning(
         q_c, g_u, kc, vc, lk, lv, masks, coef, num_heads, g),
     static_argnums=(9,))
 _backward_p.def_partition(
-    partition=_batch_partition(9, lambda nh: (
+    partition=batch_partition(tuple(range(9)), lambda nh: (
         lambda *a: _backward(*a[:8], nh, a[8])), n_results=8),
     sharding_rule=("b q1 q2, b q3 q4, b q5 q6, b q7 q8, b q9 qa qb, "
                    "b qc qd qe, b qf qg, b qh, b qi qj -> "
