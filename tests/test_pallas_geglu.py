@@ -277,3 +277,18 @@ def test_spmd_partitioning_no_allgather():
     for w, g in zip(gwant, ggot):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_fwd_falls_back_when_no_blocking(monkeypatch):
+    """Forward with no viable blocking (e.g. a tiny per-shard M under a
+    mesh) silently uses the XLA formulation — same numerics."""
+    monkeypatch.setenv("DSTA_FF_BM", "7")
+    from diffusion_spacetime_attn_tpu.ops.pallas_geglu import _pick_blocks
+    M, dim = 24, 320
+    inner = dim * 4
+    assert _pick_blocks(M, dim, inner) is None
+    x, w1, b1, w2, b2, res = _inputs(M, dim, inner, seed=43)
+    want = _xla_ref(x, w1, b1, w2, b2, res)
+    got = geglu_ff(x, w1, b1, w2, b2, res, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
