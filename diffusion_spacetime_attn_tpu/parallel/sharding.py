@@ -79,3 +79,29 @@ def shard_params(mesh: Mesh, params, model_axis_size: int):
         return jax.device_put(leaf, NamedSharding(mesh, _REP))
 
     return jax.tree_util.tree_map_with_path(place, params)
+
+
+def fsdp_sharding(mesh: Mesh, tree, axis: str = "data"):
+    """ZeRO/FSDP-style shardings for a train-state pytree: every array
+    leaf is sharded along its largest axis divisible by the mesh's data
+    size (weights, optimizer moments, EMA alike); indivisible or scalar
+    leaves replicate.  GSPMD then materializes each parameter via
+    all-gather at its use sites and reduce-scatters its gradient — per-chip
+    state memory drops ~n_data× while the step stays one jitted program.
+
+    Returns a pytree of NamedShardings matching `tree` (pass as jit
+    in_shardings/out_shardings and to jax.device_put for the initial
+    placement)."""
+    n = mesh.shape[axis]
+
+    def leaf_sharding(leaf):
+        shape = getattr(leaf, "shape", ())
+        cands = [i for i, s in enumerate(shape) if s % n == 0 and s >= n]
+        if not cands:
+            return NamedSharding(mesh, _REP)
+        best = max(cands, key=lambda i: shape[i])
+        spec = [None] * len(shape)
+        spec[best] = axis
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map(leaf_sharding, tree)

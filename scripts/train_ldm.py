@@ -48,6 +48,10 @@ def main():
                          "the input channels (ImageNetSR-style, BSRGAN-light "
                          "degradation in synthetic mode); none: unconditional")
     ap.add_argument("--num-classes", type=int, default=1000)
+    ap.add_argument("--fsdp", action="store_true",
+                    help="shard weights + Adam moments + EMA over the data "
+                         "axis (ZeRO-style; ~ndev x less state memory per "
+                         "chip, GSPMD gathers at use)")
     ap.add_argument("--sr-factor", type=int, default=4)
     args = ap.parse_args()
 
@@ -127,7 +131,8 @@ def main():
     ctx_rank = {"text": 3, "class": 2, "superres": 4, "none": 2}[args.conditioning]
     trainer = LDMTrainer(train_cfg, sched_cfg, schedule, eps_model,
                          mesh=mesh, ckpt_dir=args.ckpt_dir,
-                         context_rank=ctx_rank)
+                         context_rank=ctx_rank,
+                         fsdp=args.fsdp and mesh is not None)
     logger.info("devices=%d lr=%.2e (scaled)", ndev, trainer.lr)
 
     # ---- params ----

@@ -303,3 +303,46 @@ def test_ldm_trainer_class_conditioning_under_mesh():
     delta = jnp.abs(state.params["cond"]["embedding"]["embedding"]
                     - params["cond"]["embedding"]["embedding"]).max()
     assert float(delta) > 0.0
+
+
+def test_fsdp_step_matches_single_device(tiny_setup):
+    """fsdp=True: weights + Adam moments + EMA sharded over the data axis
+    (largest divisible dim), numerics identical to the replicated step."""
+    from diffusion_spacetime_attn_tpu.parallel.mesh import make_mesh
+
+    eps_model, params, schedule = tiny_setup
+    cfg = LDMTrainConfig(use_ema=True, scale_lr=False)
+    mesh = make_mesh(data=len(jax.devices()))
+    trainer = LDMTrainer(cfg, SCHED_CFG, schedule, eps_model, mesh=mesh,
+                         fsdp=True)
+    state = trainer.init(params)
+    # at least one large leaf actually sharded on 'data'
+    sharded_leaves = [
+        l for l in jax.tree_util.tree_leaves(state.params)
+        if hasattr(l, "sharding") and "data" in str(l.sharding.spec)
+    ]
+    assert sharded_leaves, "no parameter leaf got FSDP-sharded"
+
+    rng = np.random.RandomState(2)
+    B = len(jax.devices())
+    x0 = jnp.asarray(rng.randn(B, 16, 16, 4), jnp.float32)
+    ctx = jnp.asarray(rng.randn(B, 7, 16), jnp.float32)
+    key = jax.random.PRNGKey(6)
+    fsdp_state, fsdp_m = trainer.train_step(state, x0, ctx, key)
+    # state stays sharded across steps (out_shardings pin it)
+    out_leaf = [
+        l for l in jax.tree_util.tree_leaves(fsdp_state.params)
+        if hasattr(l, "sharding") and "data" in str(l.sharding.spec)
+    ]
+    assert out_leaf
+
+    single = LDMTrainer(cfg, SCHED_CFG, schedule, eps_model, mesh=None)
+    s_state, s_m = single.train_step(single.init(params), x0, ctx, key)
+    np.testing.assert_allclose(float(fsdp_m["loss"]), float(s_m["loss"]),
+                               rtol=2e-5)
+    a = jax.tree_util.tree_leaves(fsdp_state.params)[0]
+    b = jax.tree_util.tree_leaves(s_state.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    e = jax.tree_util.tree_leaves(fsdp_state.ema_params)[0]
+    f = jax.tree_util.tree_leaves(s_state.ema_params)[0]
+    np.testing.assert_allclose(np.asarray(e), np.asarray(f), atol=2e-5)
