@@ -24,8 +24,6 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
@@ -110,11 +108,9 @@ def _make_splash_spmd(num_heads, Lq, Lk, interpret):
     plain path and its measured numbers.
     """
     from jax.experimental.custom_partitioning import custom_partitioning
-    from jax.sharding import NamedSharding, PartitionSpec
 
     kern = _splash_kernel(num_heads, Lq, Lk, interpret=interpret)
     leaves, treedef = jax.tree_util.tree_flatten(kern)
-    n_leaves = len(leaves)
 
     def run_fwd(qh, kh, vh, *kleaves):
         k_obj = jax.tree_util.tree_unflatten(treedef, kleaves)

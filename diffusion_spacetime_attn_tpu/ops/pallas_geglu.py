@@ -159,14 +159,20 @@ def _ff_kernel(x_ref, w1h_ref, w1g_ref, b1h_ref, b1g_ref, w2_ref, b2_ref,
         o_ref[...] = out.astype(o_ref.dtype)
 
 
-def _ff_fwd_local(x, w1, b1, w2, b2, res, interpret: bool):
-    """Single-shard pallas_call (local shapes).  Falls back to the XLA
-    formulation when the (possibly per-shard) M has no viable blocking —
-    under a data mesh each shard sees M/n rows."""
+def _ff_fwd_local(x, w1, b1, w2, b2, res, interpret: bool,
+                  strict: bool = True):
+    """Single-shard pallas_call.  strict=True (the direct entry) raises on
+    an unblockable M — callers must gate on ff_ok/ff_win, and a silent XLA
+    fallback there would quietly erase the kernel's measured win.
+    strict=False (the per-shard partition lowering, where M/n_data may
+    legitimately be unblockable) falls back to the XLA formulation."""
     M, dim = x.shape
     inner = w2.shape[0]
     blocks = _pick_blocks(M, dim, inner)
     if blocks is None:
+        if strict:
+            raise ValueError(f"geglu kernel: no viable blocks for M={M}, "
+                             f"dim={dim}, inner={inner} (check ff_ok first)")
         return _xla_ref(x, w1, b1, w2, b2, res)
     bm, bn = blocks
     nj = inner // bn
@@ -403,7 +409,7 @@ _ff_fwd_res_p = custom_partitioning(
 _ff_fwd_res_p.def_partition(
     partition=batch_partition((0, 5), lambda interp: (
         lambda x, w1, b1, w2, b2, res: _ff_fwd_local(
-            x, w1, b1, w2, b2, res, interp))),
+            x, w1, b1, w2, b2, res, interp, strict=False))),
     sharding_rule="m d, a b, c, e f, g, m h -> m d")
 
 _ff_fwd_nores_p = custom_partitioning(
@@ -413,7 +419,7 @@ _ff_fwd_nores_p = custom_partitioning(
 _ff_fwd_nores_p.def_partition(
     partition=batch_partition((0,), lambda interp: (
         lambda x, w1, b1, w2, b2: _ff_fwd_local(
-            x, w1, b1, w2, b2, None, interp))),
+            x, w1, b1, w2, b2, None, interp, strict=False))),
     sharding_rule="m d, a b, c, e f, g -> m d")
 
 _ff_dx_p = custom_partitioning(

@@ -254,23 +254,31 @@ class LDMTrainer:
             self._step = None  # built lazily from the state's structure
 
     def init(self, params) -> LDMTrainState:
-        state = init_state(self.cfg, self.schedule_cfg, params, self.lr)
-        if self.fsdp:
-            assert self.mesh is not None, "fsdp requires a mesh"
-            from ..parallel.mesh import data_sharding, replicated
-            from ..parallel.sharding import fsdp_sharding
+        if not self.fsdp:
+            return init_state(self.cfg, self.schedule_cfg, params, self.lr)
+        assert self.mesh is not None, "fsdp requires a mesh"
+        from ..parallel.mesh import data_sharding, replicated
+        from ..parallel.sharding import fsdp_sharding
 
-            self._state_shardings = fsdp_sharding(self.mesh, state)
-            state = jax.device_put(state, self._state_shardings)
-            self._step = jax.jit(
-                self._raw_step,
-                in_shardings=(self._state_shardings,
-                              data_sharding(self.mesh, 4),
-                              data_sharding(self.mesh, self.context_rank),
-                              replicated(self.mesh)),
-                out_shardings=(self._state_shardings, replicated(self.mesh)),
-            )
-        return state
+        def build(p):
+            return init_state(self.cfg, self.schedule_cfg, p, self.lr)
+
+        # shardings from shapes only, then build the state INSIDE a jit
+        # with those out_shardings — the Adam moments and EMA copy
+        # (~3/4 of the state bytes) are born sharded and never exist
+        # replicated on one chip (at 860M params the replicated state is
+        # ~13.7 GB, over a v5e's HBM by itself)
+        state_shape = jax.eval_shape(build, params)
+        self._state_shardings = fsdp_sharding(self.mesh, state_shape)
+        self._step = jax.jit(
+            self._raw_step,
+            in_shardings=(self._state_shardings,
+                          data_sharding(self.mesh, 4),
+                          data_sharding(self.mesh, self.context_rank),
+                          replicated(self.mesh)),
+            out_shardings=(self._state_shardings, replicated(self.mesh)),
+        )
+        return jax.jit(build, out_shardings=self._state_shardings)(params)
 
     def train_step(self, state, x0, context, rng):
         assert self._step is not None, "call init() first (fsdp mode)"

@@ -129,6 +129,9 @@ def main():
     ndev = len(jax.devices())
     mesh = make_mesh(data=ndev) if ndev > 1 else None
     ctx_rank = {"text": 3, "class": 2, "superres": 4, "none": 2}[args.conditioning]
+    if args.fsdp and mesh is None:
+        logger.warning("--fsdp ignored: single device (no mesh to shard "
+                       "state over) — training runs fully replicated")
     trainer = LDMTrainer(train_cfg, sched_cfg, schedule, eps_model,
                          mesh=mesh, ckpt_dir=args.ckpt_dir,
                          context_rank=ctx_rank,

@@ -279,16 +279,24 @@ def test_spmd_partitioning_no_allgather():
                                    atol=1e-5, rtol=1e-5)
 
 
-def test_fwd_falls_back_when_no_blocking(monkeypatch):
-    """Forward with no viable blocking (e.g. a tiny per-shard M under a
-    mesh) silently uses the XLA formulation — same numerics."""
+def test_fwd_raises_on_unblockable_direct_call(monkeypatch):
+    """The DIRECT entry raises on an unblockable M (callers must gate on
+    ff_ok/ff_win — a silent XLA fallback would quietly erase the measured
+    win); the silent fallback exists only inside the per-shard partition
+    lowering, where M/n_data may legitimately be unblockable."""
     monkeypatch.setenv("DSTA_FF_BM", "7")
-    from diffusion_spacetime_attn_tpu.ops.pallas_geglu import _pick_blocks
+    from diffusion_spacetime_attn_tpu.ops.pallas_geglu import (
+        _ff_fwd_local,
+        _pick_blocks,
+    )
     M, dim = 24, 320
     inner = dim * 4
     assert _pick_blocks(M, dim, inner) is None
     x, w1, b1, w2, b2, res = _inputs(M, dim, inner, seed=43)
+    with pytest.raises(ValueError, match="no viable blocks"):
+        geglu_ff(x, w1, b1, w2, b2, res, interpret=True)
+    # the per-shard lowering path (strict=False) falls back silently
     want = _xla_ref(x, w1, b1, w2, b2, res)
-    got = geglu_ff(x, w1, b1, w2, b2, res, interpret=True)
+    got = _ff_fwd_local(x, w1, b1, w2, b2, res, True, strict=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
