@@ -72,3 +72,26 @@ def test_shard_batch_places_on_data_axis(setup):
     sharded = shard_batch(mesh, tree)
     for leaf in jax.tree_util.tree_leaves(sharded):
         assert leaf.sharding.spec[0] == "data"
+
+
+def test_fsdp_sharding_leaf_rules():
+    """fsdp_sharding: largest data-divisible axis sharded, scalars and
+    indivisible leaves replicated, works on nested pytrees."""
+    import numpy as np
+    from diffusion_spacetime_attn_tpu.parallel.mesh import make_mesh
+    from diffusion_spacetime_attn_tpu.parallel.sharding import fsdp_sharding
+
+    mesh = make_mesh(data=8)
+    tree = {
+        "w": np.zeros((24, 16)),     # both divisible; 24 is largest → axis 0
+        "tall": np.zeros((8, 640)),  # 640 largest divisible → axis 1
+        "odd": np.zeros((7, 5)),     # nothing divisible → replicated
+        "scalar": np.float32(0.0),
+        "nested": {"b": np.zeros((64,))},
+    }
+    sh = fsdp_sharding(mesh, tree)
+    assert sh["w"].spec == ("data", None)
+    assert sh["tall"].spec == (None, "data")
+    assert sh["odd"].spec == ()
+    assert sh["scalar"].spec == ()
+    assert sh["nested"]["b"].spec == ("data",)
