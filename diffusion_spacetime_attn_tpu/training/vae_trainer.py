@@ -83,14 +83,19 @@ class VAETrainer:
     psum over ICI, same shape as the LDM trainer.
     """
 
-    def __init__(self, vae: AutoencoderKL, cfg: VAETrainConfig, mesh=None):
+    def __init__(self, vae: AutoencoderKL, cfg: VAETrainConfig, mesh=None,
+                 fsdp: bool = False):
         self.vae = vae
         self.cfg = cfg
+        self.mesh = mesh
+        self.fsdp = fsdp and mesh is not None
         self.disc = NLayerDiscriminator(ndf=cfg.disc_ndf, n_layers=cfg.disc_layers)
         self.lpips = LPIPS()
         self._opt_ae = optax.adam(cfg.base_lr, b1=0.5, b2=0.9)
         self._opt_disc = optax.adam(cfg.base_lr, b1=0.5, b2=0.9)
-        if mesh is not None:
+        if self.fsdp:
+            self._step = None  # built in init() from the state's structure
+        elif mesh is not None:
             from ..parallel.mesh import data_sharding, replicated
 
             rep = replicated(mesh)
@@ -104,23 +109,41 @@ class VAETrainer:
 
     def init(self, rng: jax.Array, image_hw: int = 64,
              lpips_params: Any = None) -> VAETrainState:
-        r1, r2, r3 = jax.random.split(rng, 3)
-        x = jnp.zeros((1, image_hw, image_hw, 3))
-        ae_params = self.vae.init(r1, x)["params"]
-        dvars = self.disc.init(r2, x, train=True)
-        if lpips_params is None:
-            lpips_params = self.lpips.init(r3, x, x)["params"]
-        logvar = jnp.asarray(self.cfg.logvar_init, jnp.float32)
-        return VAETrainState(
-            ae_params=ae_params,
-            logvar=logvar,
-            disc_params=dvars["params"],
-            disc_stats=dvars.get("batch_stats", {}),
-            lpips_params=lpips_params,
-            opt_ae=self._opt_ae.init((ae_params, logvar)),
-            opt_disc=self._opt_disc.init(dvars["params"]),
-            step=jnp.zeros((), jnp.int32),
+        def build(rng, lpips_params):
+            r1, r2, r3 = jax.random.split(rng, 3)
+            x = jnp.zeros((1, image_hw, image_hw, 3))
+            ae_params = self.vae.init(r1, x)["params"]
+            dvars = self.disc.init(r2, x, train=True)
+            if lpips_params is None:
+                lpips_params = self.lpips.init(r3, x, x)["params"]
+            logvar = jnp.asarray(self.cfg.logvar_init, jnp.float32)
+            return VAETrainState(
+                ae_params=ae_params,
+                logvar=logvar,
+                disc_params=dvars["params"],
+                disc_stats=dvars.get("batch_stats", {}),
+                lpips_params=lpips_params,
+                opt_ae=self._opt_ae.init((ae_params, logvar)),
+                opt_disc=self._opt_disc.init(dvars["params"]),
+                step=jnp.zeros((), jnp.int32),
+            )
+
+        if not self.fsdp:
+            return build(rng, lpips_params)
+        # ZeRO-style: shardings from shapes, state born sharded (same
+        # scheme as LDMTrainer.init — see training/ldm_trainer.py)
+        from ..parallel.mesh import data_sharding, replicated
+        from ..parallel.sharding import fsdp_sharding
+
+        state_shape = jax.eval_shape(build, rng, lpips_params)
+        shardings = fsdp_sharding(self.mesh, state_shape)
+        self._step = jax.jit(
+            self._make_step(),
+            in_shardings=(shardings, data_sharding(self.mesh, 4),
+                          replicated(self.mesh)),
+            out_shardings=(shardings, replicated(self.mesh)),
         )
+        return jax.jit(build, out_shardings=shardings)(rng, lpips_params)
 
     def train_step(self, state: VAETrainState, images: jnp.ndarray,
                    rng: jax.Array) -> Tuple[VAETrainState, dict]:

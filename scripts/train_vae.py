@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--batch-size", type=int, default=4)
     ap.add_argument("--base-lr", type=float, default=4.5e-6)
+    ap.add_argument("--fsdp", action="store_true",
+                    help="shard AE+disc weights and both Adam states over "
+                         "the data axis (ZeRO-style; multi-device only)")
     ap.add_argument("--kl-weight", type=float, default=1e-6)
     ap.add_argument("--disc-start", type=int, default=50001)
     ap.add_argument("--disc-weight", type=float, default=0.5)
@@ -72,7 +75,8 @@ def main():
     if ndev > 1:
         from diffusion_spacetime_attn_tpu.parallel.mesh import make_mesh
 
-        trainer = VAETrainer(vae, cfg, mesh=make_mesh(data=ndev))
+        trainer = VAETrainer(vae, cfg, mesh=make_mesh(data=ndev),
+                             fsdp=args.fsdp)
         logger.info("data-parallel over %d devices", ndev)
     else:
         trainer = VAETrainer(vae, cfg)

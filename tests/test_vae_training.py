@@ -153,3 +153,35 @@ def test_vae_trainer_data_parallel_mesh():
     state, m = tr.train_step(state, x, jax.random.PRNGKey(1))
     assert np.isfinite(float(m["total_loss"]))
     assert np.isfinite(float(m["disc_loss"]))
+
+
+def test_vae_trainer_fsdp_matches_replicated():
+    """fsdp=True: autoencoder + discriminator weights and both Adam states
+    sharded over the data axis, numerics identical to the replicated step."""
+    from diffusion_spacetime_attn_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=8)
+    vae = AutoencoderKL(VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                                  z_channels=2, embed_dim=2))
+    cfg = VAETrainConfig(base_lr=1e-3, disc_start=0, disc_ndf=8,
+                         disc_layers=2, perceptual_weight=0.0)
+    x = jnp.asarray(np.random.RandomState(3).rand(8, 16, 16, 3) * 2 - 1,
+                    jnp.float32)
+    key = jax.random.PRNGKey(4)
+
+    tr_f = VAETrainer(vae, cfg, mesh=mesh, fsdp=True)
+    st_f = tr_f.init(jax.random.PRNGKey(0), image_hw=16)
+    sharded = [l for l in jax.tree_util.tree_leaves(st_f.ae_params)
+               if hasattr(l, "sharding") and "data" in str(l.sharding.spec)]
+    assert sharded, "no ae leaf got FSDP-sharded"
+    st_f, m_f = tr_f.train_step(st_f, x, key)
+
+    tr_r = VAETrainer(vae, cfg, mesh=mesh)
+    st_r = tr_r.init(jax.random.PRNGKey(0), image_hw=16)
+    st_r, m_r = tr_r.train_step(st_r, x, key)
+
+    np.testing.assert_allclose(float(m_f["total_loss"]),
+                               float(m_r["total_loss"]), rtol=2e-5)
+    a = jax.tree_util.tree_leaves(st_f.ae_params)[0]
+    b = jax.tree_util.tree_leaves(st_r.ae_params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
