@@ -69,7 +69,11 @@ class LayoutTrainer:
     eval_step: Any
 
     @classmethod
-    def create(cls, cfg: LayoutConfig, train_cfg: LayoutTrainConfig, params):
+    def create(cls, cfg: LayoutConfig, train_cfg: LayoutTrainConfig, params,
+               mesh=None, fsdp: bool = False):
+        """mesh+fsdp=True: ZeRO-style sharding of params + the dual-LR
+        optimizer state over the data axis (same born-sharded scheme as
+        LDMTrainer/VAETrainer); the batch shards on its leading dim."""
         model = LayoutPredictor(cfg)
         opt = make_optimizer(train_cfg, params)
 
@@ -82,14 +86,35 @@ class LayoutTrainer:
                 k=cfg.gmm_components,
             )
 
-        @jax.jit
-        def train_step(params, opt_state, batch: LayoutBatch):
+        def train_step_fn(params, opt_state, batch: LayoutBatch):
             (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, batch
             )
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss, metrics
+
+        if fsdp and mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from ..parallel.mesh import replicated
+            from ..parallel.sharding import fsdp_sharding
+
+            p_sh = fsdp_sharding(mesh, params)
+            o_sh = fsdp_sharding(mesh, jax.eval_shape(opt.init, params))
+            # a rank-1 spec shards each batch leaf's leading dim and
+            # replicates the rest (PartitionSpec shorter than rank)
+            b_sh = NamedSharding(mesh, PartitionSpec("data"))
+            rep = replicated(mesh)
+            train_step = jax.jit(
+                train_step_fn,
+                in_shardings=(p_sh, o_sh, b_sh),
+                out_shardings=(p_sh, o_sh, rep, rep),
+            )
+            init_opt = jax.jit(opt.init, out_shardings=o_sh)
+        else:
+            train_step = jax.jit(train_step_fn)
+            init_opt = None
 
         @jax.jit
         def eval_step(params, batch: LayoutBatch):
@@ -106,9 +131,13 @@ class LayoutTrainer:
             metrics = dict(metrics, mean_center_dist=jnp.sum(dist * batch.abs_valid) / n)
             return loss, metrics
 
-        return cls(model, cfg, train_cfg, opt, train_step, eval_step)
+        trainer = cls(model, cfg, train_cfg, opt, train_step, eval_step)
+        trainer._init_opt = init_opt
+        return trainer
 
     def init_state(self, params):
+        if getattr(self, "_init_opt", None) is not None:
+            return self._init_opt(params)  # born sharded (fsdp)
         return self.optimizer.init(params)
 
     # ---- checkpointing (orbax) ----

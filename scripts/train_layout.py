@@ -21,6 +21,9 @@ def main():
     ap.add_argument("--vocab", default=None)
     ap.add_argument("--merges", default=None)
     ap.add_argument("--val-split", type=float, default=0.1)
+    ap.add_argument("--fsdp", action="store_true",
+                    help="shard params + dual-LR optimizer state over the "
+                         "data axis (ZeRO-style; multi-device only)")
     ap.add_argument("--log-every", type=int, default=100)
     ap.add_argument("--synthetic", action="store_true", help="use synthetic corpus")
     ap.add_argument("--coco-instances", default=None,
@@ -80,7 +83,14 @@ def main():
     cfg = LayoutConfig()
     train_cfg = LayoutTrainConfig(batch_size=args.batch_size, epochs=args.epochs)
     model, params = create_layout_predictor(cfg, jax.random.PRNGKey(0))
-    trainer = LayoutTrainer.create(cfg, train_cfg, params)
+    if args.fsdp and len(jax.devices()) > 1:
+        from diffusion_spacetime_attn_tpu.parallel.mesh import make_mesh
+
+        trainer = LayoutTrainer.create(
+            cfg, train_cfg, params,
+            mesh=make_mesh(data=len(jax.devices())), fsdp=True)
+    else:
+        trainer = LayoutTrainer.create(cfg, train_cfg, params)
     opt_state = trainer.init_state(params)
     tok = make_roberta_tokenizer(args.vocab, args.merges)
 

@@ -280,3 +280,38 @@ def test_vg_msdn_loader_and_train_step(tmp_path):
                          max_len=32, max_rels=2, max_objs=4, epochs=1):
         params, opt_state, loss, _ = trainer.train_step(params, opt_state, batch)
         assert np.isfinite(float(loss))
+
+
+def test_layout_trainer_fsdp_matches_replicated():
+    """LayoutTrainer fsdp=True: params + dual-LR optimizer state sharded
+    over the data axis, numerics identical to the plain step."""
+    from diffusion_spacetime_attn_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=8)
+    rng = np.random.RandomState(7)
+    model, params = create_layout_predictor(TINY, jax.random.PRNGKey(0))
+    tok = make_roberta_tokenizer()
+    train_cfg = LayoutTrainConfig(batch_size=8, encoder_max_lr=1e-4,
+                                  head_max_lr=3e-3, warmup_steps=5,
+                                  hold_steps=5, decay_steps=10000)
+    examples = synthetic_examples(16, rng)
+    batch = next(batches(examples, tok, 8, np.random.RandomState(0),
+                         max_len=16, max_rels=2, max_objs=2, epochs=1))
+
+    plain = LayoutTrainer.create(TINY, train_cfg, params)
+    p0, o0, loss0, _ = plain.train_step(params, plain.init_state(params), batch)
+
+    tr = LayoutTrainer.create(TINY, train_cfg, params, mesh=mesh, fsdp=True)
+    opt_state = tr.init_state(params)
+    sharded = [l for l in jax.tree_util.tree_leaves(opt_state)
+               if hasattr(l, "sharding") and "data" in str(l.sharding.spec)]
+    assert sharded, "no optimizer leaf got FSDP-sharded"
+    p1, o1, loss1, _ = tr.train_step(params, opt_state, batch)
+    out_sharded = [l for l in jax.tree_util.tree_leaves(p1)
+                   if hasattr(l, "sharding") and "data" in str(l.sharding.spec)]
+    assert out_sharded, "params did not stay sharded across the step"
+
+    np.testing.assert_allclose(float(loss1), float(loss0), rtol=2e-5)
+    a = jax.tree_util.tree_leaves(p0)[0]
+    b = jax.tree_util.tree_leaves(p1)[0]
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
