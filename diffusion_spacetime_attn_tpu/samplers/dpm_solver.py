@@ -25,7 +25,13 @@ def dpm_solver_sample(
     sched: DiffusionSchedule,
     order: int = 2,
     remat: bool = True,
+    lower_order_final: bool = True,
 ) -> jnp.ndarray:
+    """lower_order_final=True matches the reference's single call site
+    (`dpm_solver/sampler.py:80`): when the total step count is < 15
+    (`dpm_solver.py:1094`), the final update drops to order 1
+    (`step_order = min(order, steps + 1 - step)`) — stabilizes the last
+    large-h multistep extrapolation at few-step operating points."""
     if order not in (1, 2):
         raise ValueError("order must be 1 or 2")
     from .remat import maybe_remat
@@ -53,6 +59,10 @@ def dpm_solver_sample(
     x0_0 = x0_pred(x_T, 0)
     x = first_order(x_T, x0_0, 0)
 
+    # reference `dpm_solver.py:1094`: the order drop only engages below 15
+    # total steps (S here counts solver updates, = the reference's `steps`)
+    drop_final = lower_order_final and S < 15
+
     def body(carry, i):
         x, x0_prev = carry
         x0 = x0_pred(x, i)
@@ -61,6 +71,10 @@ def dpm_solver_sample(
         else:
             r = h[i - 1] / h[i]
             d = (1.0 + 1.0 / (2.0 * r)) * x0 - (1.0 / (2.0 * r)) * x0_prev
+            if drop_final:
+                # step_order = min(order, steps + 1 - step) → order 1 on the
+                # final update only (order 2 everywhere else)
+                d = jnp.where(i == S - 1, x0, d)
             x_new = first_order(x, d, i)
         return (x_new, x0), None
 

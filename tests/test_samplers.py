@@ -146,3 +146,69 @@ def test_ddpm_matches_numpy_posterior_replication():
         x = mean + (t > 0) * np.exp(0.5 * log_var[t]) * noise
     np.testing.assert_allclose(out, x, rtol=2e-4, atol=2e-5)
     assert np.all(np.isfinite(out))
+
+
+def test_dpm2m_lower_order_final_matches_reference_rule():
+    """`lower_order_final` (reference `dpm_solver/sampler.py:80` passes True;
+    `dpm_solver.py:1094`: engages only at steps<15, dropping the FINAL update
+    to order 1).  Numpy oracle replicates the multistep data-prediction
+    update with the reference's step_order rule at steps=10."""
+    sched = make_schedule(ScheduleConfig(), 10)
+    rng = np.random.RandomState(7)
+    x = rng.randn(*SHAPE).astype(np.float64)
+
+    al = np.sqrt(np.asarray(sched.alphas, np.float64))
+    sg = np.sqrt(1.0 - np.asarray(sched.alphas, np.float64))
+    alp = np.sqrt(np.asarray(sched.alphas_prev, np.float64))
+    sgp = np.sqrt(1.0 - np.asarray(sched.alphas_prev, np.float64))
+    lam = np.log(al / sg)
+    lamp = np.log(alp / sgp)
+    h = lamp - lam
+    ts = np.asarray(sched.timesteps)
+    W = 0.07
+
+    def eps_np(x, t):
+        return W * x * (t / 1000.0 + 0.5)
+
+    def oracle(lower_order_final):
+        S = sched.num_steps
+        cur = x.copy()
+        x0_prev = None
+        for i in range(S):
+            e = eps_np(cur, ts[i])
+            x0 = (cur - sg[i] * e) / al[i]
+            if i == 0:
+                d = x0                       # first step: order 1
+            else:
+                step_order = 2
+                if lower_order_final and S < 15:
+                    # reference: min(order, steps + 1 - step), step=i+1..S
+                    step_order = min(2, S - i)
+                if step_order == 1:
+                    d = x0
+                else:
+                    r = h[i - 1] / h[i]
+                    d = (1.0 + 1.0 / (2.0 * r)) * x0 - (1.0 / (2.0 * r)) * x0_prev
+            cur = (sgp[i] / sg[i]) * cur - alp[i] * (np.exp(-h[i]) - 1.0) * d
+            x0_prev = x0
+        return cur
+
+    def eps_fn(xx, t, i):
+        return W * xx * (t.astype(jnp.float32) / 1000.0 + 0.5)
+
+    got = np.asarray(dpm_solver_sample(eps_fn, jnp.array(x, jnp.float32), sched,
+                                       order=2, remat=False))
+    np.testing.assert_allclose(got, oracle(True), rtol=1e-4, atol=1e-5)
+    off = np.asarray(dpm_solver_sample(eps_fn, jnp.array(x, jnp.float32), sched,
+                                       order=2, remat=False,
+                                       lower_order_final=False))
+    np.testing.assert_allclose(off, oracle(False), rtol=1e-4, atol=1e-5)
+    # the drop must actually change the result at steps<15 …
+    assert np.abs(got - off).max() > 1e-6
+    # … and be a no-op at steps≥15 (condition `steps < 15`)
+    a = np.asarray(dpm_solver_sample(eps_fn, jnp.array(x, jnp.float32), SCHED,
+                                     order=2, remat=False))
+    b = np.asarray(dpm_solver_sample(eps_fn, jnp.array(x, jnp.float32), SCHED,
+                                     order=2, remat=False,
+                                     lower_order_final=False))
+    np.testing.assert_array_equal(a, b)
