@@ -124,24 +124,42 @@ class CrossAttention(nn.Module):
         self.to_v = nn.Dense(inner, use_bias=False, dtype=self.dtype)
         self.to_out = nn.Dense(self.query_dim, dtype=self.dtype)
 
+    def _qkv(self, x, context):
+        """Project q/k/v and pin their shardings: batch on 'data', inner on
+        'model' (column-parallel projections).  The pin matters twice over:
+        (a) under TP it is the Megatron layout, (b) under FSDP/ZeRO the
+        *tangents* of these dots (jvp w.r.t. the feature-sharded kernels)
+        otherwise inherit mixed feature shardings that GSPMD can only
+        reconcile with involuntary full rematerialization at every attn2
+        (sharding constraints are linear, so the pin carries to tangents).
+        No mesh in trace context → identity (single-chip paths untouched)."""
+        from ..ops.spmd import constrain
+
+        q = constrain(self.to_q(x), "data", None, "model")
+        k = constrain(self.to_k(context), "data", None, "model")
+        v = constrain(self.to_v(context), "data", None, "model")
+        return q, k, v
+
     def __call__(self, x, context=None):
         context = x if context is None else context
-        q = self.to_q(x)
-        k = self.to_k(context)
-        v = self.to_v(context)
+        q, k, v = self._qkv(x, context)
         out = attention(q, k, v, self.heads, flash=self.flash, mha=self.mha,
                         q_chunk=self.q_chunk, scores_dtype=self.scores_dtype)
         return self.to_out(out)
 
     def controlled(self, x, context, control: Optional[SpatialControl], radius: float):
         """Cross-attention with the spatial blend (cond rows only)."""
-        q = self.to_q(x)
-        k = self.to_k(context)
-        v = self.to_v(context)
+        q, k, v = self._qkv(x, context)
         local_kv = None
         if control is not None:
-            lk = self.to_k(control.local_contexts)
-            lv = self.to_v(control.local_contexts)
+            from ..ops.spmd import constrain
+
+            # [B, N, L, inner]: batch on 'data', inner on 'model' (column-
+            # parallel to_k/to_v) — see ops/attention.py blend constraints
+            lk = constrain(self.to_k(control.local_contexts),
+                           "data", None, None, "model")
+            lv = constrain(self.to_v(control.local_contexts),
+                           "data", None, None, "model")
             local_kv = (lk, lv)
         out = spacetime_cross_attention(
             q, (k, v), local_kv, control, self.heads, radius,

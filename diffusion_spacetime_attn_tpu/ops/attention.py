@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from .masks import flat_circular_mask
-from .spmd import batch_partition
+from .spmd import batch_partition, constrain
 
 
 class SpatialControl(NamedTuple):
@@ -92,8 +92,37 @@ def _splash_kernel(num_heads: int, Lq: int, Lk: int, interpret: bool = False):
                                             interpret=interpret)
 
 
+def _splash_spmd_wanted() -> bool:
+    """Mesh-driven selection of the SPMD splash wrapper.
+
+    Default: use the SPMD wrapper whenever more than one device could
+    participate (a Mesh with size>1 is in context, or the process sees >1
+    devices) — an un-wrapped pallas_call under GSPMD is replicated behind
+    an all-gather, silently voiding data-parallel chain scaling.
+    DSTA_SPLASH_SPMD=1/0 force-overrides (the wrapper costs one extra
+    splash forward in the backward, so single-chip chains keep the plain
+    path and its measured numbers).
+    """
+    import os
+
+    env = os.environ.get("DSTA_SPLASH_SPMD", "")
+    if env == "1":
+        return True
+    if env == "0":
+        return False
+    from .spmd import ctx_mesh
+
+    m = ctx_mesh()
+    if m is not None:
+        return m.size > 1
+    try:
+        return len(jax.devices()) > 1
+    except Exception:
+        return False
+
+
 def _make_splash_spmd(num_heads, Lq, Lk, interpret):
-    """SPMD-partitioned splash (opt-in via DSTA_SPLASH_SPMD=1).
+    """SPMD-partitioned splash (mesh-driven; see _splash_spmd_wanted).
 
     Splash's custom VJP lives INSIDE the kernel and jax cannot
     differentiate through custom_partitioning — so this wraps splash in
@@ -176,9 +205,7 @@ def flash_attention(q, k, v, num_heads: int, interpret: bool = False):
     qh = jnp.swapaxes(q.reshape(B, Lq, num_heads, dh), 1, 2) * (dh ** -0.5)
     kh = jnp.swapaxes(k.reshape(B, -1, num_heads, dh), 1, 2)
     vh = jnp.swapaxes(v.reshape(B, -1, num_heads, dh), 1, 2)
-    import os as _os
-
-    if _os.environ.get("DSTA_SPLASH_SPMD", "") == "1":
+    if _splash_spmd_wanted():
         spmd = _make_splash_spmd(num_heads, Lq, k.shape[-2], interpret)
         out = spmd(qh.astype(kh.dtype), kh, vh)
     else:
@@ -306,8 +333,17 @@ def spacetime_cross_attention(
     # [B, N, Lq] region masks, zeroed for padded objects
     m = flat_circular_mask(control.centers, dim, radius, control.active)
     w = m * control.coef[..., None]                     # [B, N, Lq]
+    # pin the blend intermediates: batch on 'data', inner on 'model' (the
+    # column-parallel to_q/to_k/to_v output sharding).  Without these GSPMD
+    # propagates mixed shardings into the jvp of the blend einsum and falls
+    # back to involuntary full rematerialization (replicate-then-reshard)
+    # of the local tensors at every controlled attn2, every step.
+    loc = constrain(loc, "data", None, None, "model")
+    w = constrain(w, "data", None, None)
+    g = constrain(g, "data", None, "model")
     g_u, g_c = g[:B], g[B:]
     blend = jnp.einsum(
         "bnq,bnqi->bqi", w.astype(loc.dtype), loc
     ) - jnp.sum(w, axis=1)[..., None].astype(g_u.dtype) * g_u
+    blend = constrain(blend, "data", None, "model")
     return jnp.concatenate([g_u, g_c + blend], axis=0)

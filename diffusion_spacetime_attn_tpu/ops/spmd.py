@@ -13,7 +13,49 @@ rule built here.  Two facts shape the design (docs/DESIGN.md):
 """
 from __future__ import annotations
 
+import jax
 from jax.sharding import NamedSharding, PartitionSpec
+
+
+def ctx_mesh():
+    """The Mesh installed by an enclosing `with mesh:` block, or None.
+
+    jax 0.9: `with mesh:` populates the legacy thread-local context (what
+    bare-PartitionSpec `with_sharding_constraint` resolves against); the
+    new `get_abstract_mesh` stays empty unless explicit-sharding mode is
+    on, so the legacy context is the one to inspect.
+    """
+    try:
+        from jax._src import mesh as mesh_lib
+
+        m = mesh_lib.thread_resources.env.physical_mesh
+        return None if m.empty else m
+    except Exception:
+        return None
+
+
+def constrain(x, *spec):
+    """`with_sharding_constraint(x, P(*spec))` if a mesh is in context,
+    identity otherwise (single-chip traces stay annotation-free).
+
+    Axis names absent from the context mesh, and dims the mesh axis does
+    not divide evenly, are demoted to None — callers write the ideal spec
+    once and it degrades gracefully on data-only or odd-sized meshes.
+    GSPMD otherwise invents mixed shardings for the blend intermediates
+    (seen: involuntary full rematerialization of the local-context
+    tensors in `attn2.controlled` on a ('data','model') mesh).
+    """
+    m = ctx_mesh()
+    if m is None:
+        return x
+    fixed = []
+    for dim, s in zip(x.shape, spec):
+        ok = (s is not None and s in m.axis_names
+              and dim % m.shape[s] == 0 and dim >= m.shape[s])
+        fixed.append(s if ok else None)
+    if not any(s is not None for s in fixed):
+        return x
+    return jax.lax.with_sharding_constraint(x, PartitionSpec(*fixed))
 
 
 def batch_partition(row_arg_idxs, make_lower, n_results=1):

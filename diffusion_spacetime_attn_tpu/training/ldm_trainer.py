@@ -282,6 +282,13 @@ class LDMTrainer:
 
     def train_step(self, state, x0, context, rng):
         assert self._step is not None, "call init() first (fsdp mode)"
+        if self.mesh is not None:
+            # trace inside the mesh context so the models' bare-PartitionSpec
+            # sharding pins (ops.spmd.constrain) resolve — without them the
+            # jvp tangents of the FSDP-sharded q/k/v kernels force GSPMD
+            # into involuntary full remat at every attn2
+            with self.mesh:
+                return self._step(state, x0, context, rng)
         return self._step(state, x0, context, rng)
 
     # -- checkpoint / resume (orbax; mirrors ModelCheckpoint + resume_from) --

@@ -228,11 +228,15 @@ def test_splash_flash_attention_interpret_matches_xla():
 
 
 def test_splash_spmd_partitioning(monkeypatch):
-    """DSTA_SPLASH_SPMD=1 partitions splash over the batch under a data
-    mesh — no all-gather, grads match the plain path (the plain pallas
-    call would be GSPMD-replicated, voiding data-parallel chain scaling)."""
+    """Under a multi-device process splash picks the SPMD wrapper BY
+    DEFAULT (mesh-driven, VERDICT r2 #3) — no all-gather under a data
+    mesh, grads match the plain path (an un-wrapped pallas call would be
+    GSPMD-replicated, voiding data-parallel chain scaling)."""
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-    from diffusion_spacetime_attn_tpu.ops.attention import flash_attention
+    from diffusion_spacetime_attn_tpu.ops.attention import (
+        _splash_spmd_wanted,
+        flash_attention,
+    )
 
     devs = jax.devices()
     if len(devs) < 8:
@@ -248,9 +252,13 @@ def test_splash_spmd_partitioning(monkeypatch):
         return jnp.sum(flash_attention(q, k, v, H, interpret=True) ** 2)
 
     gfn = jax.grad(loss, argnums=(0, 1, 2))
+    monkeypatch.setenv("DSTA_SPLASH_SPMD", "0")   # override → plain path
+    assert not _splash_spmd_wanted()
     want = gfn(q, k, v)          # plain path, unsharded oracle
 
-    monkeypatch.setenv("DSTA_SPLASH_SPMD", "1")
+    # default (no env): >1 visible devices ⇒ SPMD wrapper
+    monkeypatch.delenv("DSTA_SPLASH_SPMD", raising=False)
+    assert _splash_spmd_wanted()
     row = NamedSharding(mesh, P("data", None, None))
     args = tuple(jax.device_put(a, row) for a in (q, k, v))
     jitted = jax.jit(gfn, in_shardings=(row,) * 3, out_shardings=(row,) * 3)

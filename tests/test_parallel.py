@@ -1,5 +1,6 @@
 """Mesh/sharding: TP-sharded params must be numerically identical to
 replicated execution, with collectives inserted by GSPMD."""
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -95,3 +96,30 @@ def test_fsdp_sharding_leaf_rules():
     assert sh["odd"].spec == ()
     assert sh["scalar"].spec == ()
     assert sh["nested"]["b"].spec == ("data",)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["fsdp", "tp"])
+def test_sharded_unet_compiles_without_involuntary_remat(mode):
+    """Regression for VERDICT r2 #2: the LDM-FSDP step (and the TP
+    controlled step) must compile with ZERO `spmd_partitioner.cc`
+    involuntary-full-rematerialization warnings.  Pre-fix, the jvp
+    tangents of the FSDP-sharded q/k/v kernels forced a
+    replicate-then-reshard of every attn2's head-split reshape (8
+    warnings on the tiny UNet); the sharding pins in
+    CrossAttention._qkv eliminate them.  Subprocess because the warnings
+    are C++ glog stderr, not capturable in-process."""
+    import subprocess
+    import sys
+
+    helper = os.path.join(os.path.dirname(__file__), "helpers",
+                          "compile_sharded_unet.py")
+    r = subprocess.run(
+        [sys.executable, helper, mode], capture_output=True, text=True,
+        timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert f"COMPILE_OK {mode}" in r.stdout
+    assert "Involuntary full rematerialization" not in r.stderr, (
+        "\n".join(l for l in r.stderr.splitlines() if "Involuntary" in l)[:2000]
+    )
