@@ -45,7 +45,7 @@ GPU_REFERENCE_METHOD_IMG_PER_MIN = 1.3
 def bench_once(mode, sampler, steps, batch, dtype, flash, q_chunk,
                scores_dtype, fused_control, params_dtype, iters,
                num_objects=4, remat="true", mha=False, fused_ff=False,
-               conv_barrier=False):
+               conv_barrier=False, no_decode=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -131,6 +131,8 @@ def bench_once(mode, sampler, steps, batch, dtype, flash, q_chunk,
             eps_fn = s.make_eps_fn(cond, uncond, 7.5, control, coef)
             z = s.sample_from(eps_fn, jax.random.normal(
                 rng_key, (B, 64, 64, 4), jnp.float32), sampler, remat=False)
+            if no_decode:  # attribution probe: sampled chain minus VAE
+                return z
             return s.decode_latents(z)
 
         fn = jax.jit(run)
@@ -169,6 +171,8 @@ def bench_once(mode, sampler, steps, batch, dtype, flash, q_chunk,
     else:
         per_image = per_call_per_image
         metric = f"512px_images_per_min_per_chip_{sampler}{steps}_{mode}"
+        if no_decode:
+            metric += "_nodecode"
         extra = {}
     value = 60.0 / per_image
     line = {
@@ -230,6 +234,9 @@ def main():
                     help="spacetime per-step remat: true | false | dots | "
                          "dots_nb (selective policies trade HBM for faster "
                          "backward)")
+    ap.add_argument("--no-decode", action="store_true",
+                    help="(vanilla/spatial) return latents without the VAE "
+                         "decode — attribution probe, not an image benchmark")
     ap.add_argument("--sampler", choices=["plms", "ddim", "dpm"], default=None,
                     help="(single-mode runs) default plms vanilla/spatial, "
                          "dpm spacetime")
@@ -245,12 +252,15 @@ def main():
         steps = steps or args.steps or (20 if mode == "spacetime" else 50)
         if flash is None:
             flash = args.flash if args.flash is not None else mode == "spacetime"
-        # fused MHA + GEGLU kernels: measured forward-path wins (vanilla B8
-        # 74.2 -> 76.7 with mha; fused-ff gated to its winning geometries);
-        # the optimization chain keeps splash (fused backward) + XLA FF
+        # fused MHA + GEGLU kernels: measured wins.  mha is forward-only
+        # (vanilla B8 74.2 -> 76.7; the chain's self-attention routes
+        # through splash, which wins under grad).  fused-ff wins BOTH ways:
+        # serving (76.7 -> 80.3) and in-chain (DPM20 b8 1.390 -> 1.356
+        # s/prompt-epoch, PLMS50 b4 3.371 -> 3.307 — the kernel's fused dx
+        # backward + the remat'd forward recompute both keep the gated
+        # intermediate out of HBM), so it is default-on everywhere.
         mha = (mode != "spacetime") if args.mha is None else args.mha
-        fused_ff = ((mode != "spacetime") if args.fused_ff is None
-                    else args.fused_ff)
+        fused_ff = True if args.fused_ff is None else args.fused_ff
         return bench_once(
             mode=mode, sampler=sampler, steps=steps,
             batch=batch or args.batch, dtype=args.dtype, flash=flash,
@@ -259,6 +269,7 @@ def main():
             iters=args.iters, num_objects=args.objects, remat=args.remat,
             mha=mha, fused_ff=fused_ff,
             conv_barrier=bool(args.conv_barrier),
+            no_decode=bool(args.no_decode),
         )
 
     if args.mode is not None:

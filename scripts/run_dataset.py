@@ -108,10 +108,11 @@ def main():
         )
 
     use_flash = (args.mode == "spacetime") if args.flash is None else args.flash
-    # fused MHA + GEGLU kernels: forward-path wins (the chain keeps splash)
+    # fused MHA: forward-path win (the chain's self-attn keeps splash).
+    # fused GEGLU FF: wins serving AND in-chain (A/B in docs/BENCHMARKS.md
+    # round 3) — default-on in every mode.
     use_mha = (args.mode != "spacetime") if args.mha is None else args.mha
-    use_fused_ff = ((args.mode != "spacetime") if args.fused_ff is None
-                    else args.fused_ff)
+    use_fused_ff = True if args.fused_ff is None else args.fused_ff
     if args.tiny:
         from diffusion_spacetime_attn_tpu.config import (
             CLIPConfig,
