@@ -2,7 +2,7 @@
 
 Profile-driven replacement for the XLA einsum attention path
 (`ops/attention.py:attention`).  A trace of the vanilla pipeline (b8,
-`scripts/profile.py`, round 2) showed XLA's fusions far below roofline at
+`scripts/profiler.py`, round 2) showed XLA's fusions far below roofline at
 the UNet's mid sequence lengths:
 
   level 1 (Lq=Lk=1024, d_head=80):  QK^T 0.82 ms + PV 0.71 ms per block

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Aggregate a jax.profiler trace into a per-fusion device-time table.
 
-Companion to `scripts/profile.py` (which captures the trace): parses the
+Companion to `scripts/profiler.py` (which captures the trace): parses the
 Chrome-trace JSON the TPU profiler writes, keeps device-lane leaf ops
 (dropping the `while.*` scan containers that double-count their children),
 and prints per-op totals with share-of-device-time — the table that drove
@@ -11,7 +11,7 @@ MXU peak, FF proj_out at 19-27%).
 The reference has no profiling story at all (SURVEY §5); this replaces
 eyeballing TensorBoard with a reproducible text report:
 
-  python scripts/profile.py --mode vanilla --iters 2
+  python scripts/profiler.py --mode vanilla --iters 2
   python scripts/analyze_trace.py                      # newest trace
   python scripts/analyze_trace.py --per-step 50 --batch 8
 """
@@ -123,7 +123,7 @@ def main():
     files = find_trace_files(args.trace_dir)
     if not files:
         sys.exit(f"no trace files under {args.trace_dir} — run "
-                 f"scripts/profile.py first")
+                 f"scripts/profiler.py first")
     events = load_events(files[-1])
     totals, counts = device_leaf_durations(events)
     if not totals:

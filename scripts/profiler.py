@@ -5,7 +5,7 @@ The reference has no profiling story (SURVEY §5: ad-hoc time.time spans);
 here: run N steady-state iterations of the chosen mode under
 `jax.profiler.trace` and write a TensorBoard/Perfetto trace directory.
 
-  python scripts/profile.py --mode vanilla --batch 8 --steps 50
+  python scripts/profiler.py --mode vanilla --batch 8 --steps 50
   tensorboard --logdir /tmp/dsta_trace   (or upload to ui.perfetto.dev)
 """
 import argparse
