@@ -235,3 +235,21 @@ def test_diffusers_safety_checker_faithful():
             assert float(np.abs(np.asarray(out[i])).max()) == 0.0
         else:
             np.testing.assert_array_equal(np.asarray(out[i]), imgs[i])
+
+
+def test_scripts_dir_shadows_no_stdlib_module():
+    """No file in scripts/ may shadow a stdlib module: test_ingest_drill (and
+    any user) puts scripts/ on sys.path, and a shadow can poison lazy import
+    machinery far away (scripts/profile.py shadowing stdlib `profile` broke
+    `from transformers import CLIPVisionModel` with a GenerationMixin
+    ImportError — collection-order dependent, round 3)."""
+    import os
+    import sys
+
+    scripts = os.path.join(os.path.dirname(__file__), "..", "scripts")
+    stdlib = set(sys.stdlib_module_names)
+    offenders = [
+        f for f in os.listdir(scripts)
+        if f.endswith(".py") and f[:-3] in stdlib
+    ]
+    assert offenders == [], f"scripts/ shadows stdlib modules: {offenders}"
