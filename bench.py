@@ -125,6 +125,11 @@ def bench_once(mode, sampler, steps, batch, dtype, flash, q_chunk,
 
         fn = jax.jit(jax.value_and_grad(run, argnums=2))
         call = lambda k: fn(params, k, coef)
+        # the method's LAST epoch is forward-only (the reference saves the
+        # image during the final epoch's forward, BEFORE the last optimizer
+        # step — `plms.py:280-288`; optimize_prompt final_forward_only)
+        fwd_fn = jax.jit(run)
+        fwd_call = lambda k: fwd_fn(params, k, coef)
     else:
         def run(ps, rng_key):
             s = dc.replace(sd, unet_params=ps[0], vae_params=ps[1])
@@ -152,20 +157,32 @@ def bench_once(mode, sampler, steps, batch, dtype, flash, q_chunk,
 
     per_call_per_image = min(times) / B
     if mode == "spacetime":
-        # one call = ONE optimization epoch; the method runs METHOD_EPOCHS
-        # (reference `plms.py:220`) per final image
-        per_image = per_call_per_image * METHOD_EPOCHS
+        # one image = (METHOD_EPOCHS-1) train epochs + ONE forward-only
+        # final epoch (reference `plms.py:220,280-288`; the final optimizer
+        # step never influences the saved image)
+        t0 = time.perf_counter()
+        float(fwd_call(key))  # scalar result: float() IS the sync
+        fwd_compile_s = time.perf_counter() - t0
+        fwd_times = []
+        for i in range(iters):
+            k = jax.random.PRNGKey(i + 1)
+            t0 = time.perf_counter()
+            float(fwd_call(k))  # block_until_ready on scalars returns early
+            fwd_times.append(time.perf_counter() - t0)
+        fwd_per_image = min(fwd_times) / B
+        compile_s += fwd_compile_s
+        per_image = per_call_per_image * (METHOD_EPOCHS - 1) + fwd_per_image
         metric = (f"512px_optimized_images_per_min_per_chip_"
                   f"{sampler}{steps}_spacetime{METHOD_EPOCHS}ep")
         extra = {
             "s_per_prompt_epoch": round(per_call_per_image, 3),
+            "s_per_prompt_final_fwd": round(fwd_per_image, 3),
             "epochs": METHOD_EPOCHS,
             # like-for-like: this rate vs the reference METHOD's assumed
             # GPU rate (the top-level vs_baseline keeps the vanilla
             # denominator for cross-line comparability)
             "vs_method_baseline": round(
-                (60.0 / (per_call_per_image * METHOD_EPOCHS))
-                / GPU_REFERENCE_METHOD_IMG_PER_MIN, 3),
+                (60.0 / per_image) / GPU_REFERENCE_METHOD_IMG_PER_MIN, 3),
             "method_baseline_assumed": GPU_REFERENCE_METHOD_IMG_PER_MIN,
         }
     else:

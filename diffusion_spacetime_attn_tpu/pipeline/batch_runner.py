@@ -28,6 +28,7 @@ from .runners import PromptRunner, save_image
 from .spacetime import (
     SpaceTimeInputs,
     init_coef,
+    make_final_forward,
     make_train_step,
     model_params,
 )
@@ -81,14 +82,17 @@ class BatchedRunner:
         r = self.runner
         cfg = r.cfg
         if r.mode == "spacetime":
-            optimizer, train_step, params = train_ctx
+            optimizer, train_step, final_forward, params = train_ctx
             coef = init_coef(batch.active, cfg.num_steps, cfg.init_coef)
             opt_state = optimizer.init(coef)
-            images = None
-            for _ in range(cfg.epochs):
+            # the reference saves during the FINAL epoch's forward, before
+            # the last optimizer step (`plms.py:280-288`) — so the last
+            # epoch runs forward-only (identical image, one backward saved)
+            for _ in range(cfg.epochs - 1):
                 coef, opt_state, loss, images = train_step(
                     params, coef, opt_state, batch
                 )
+            _, images = final_forward(params, coef, batch)
             return images
         from ..ops.attention import SpatialControl
 
@@ -129,12 +133,15 @@ class BatchedRunner:
             optimizer, train_step = make_train_step(
                 r.sd, r.clip_loss, cfg, sampler=r.sampler
             )
+            final_forward = make_final_forward(
+                r.sd, r.clip_loss, cfg, sampler=r.sampler
+            )
             params = model_params(r.sd, r.clip_loss)
             if self.mesh is not None:
                 from ..parallel.mesh import replicate
 
                 params = replicate(self.mesh, params)
-            train_ctx = (optimizer, train_step, params)
+            train_ctx = (optimizer, train_step, final_forward, params)
 
         produced = 0
         B = self.batch_size

@@ -79,6 +79,7 @@ class PromptRunner:
     _cached_uncond: Optional[jnp.ndarray] = None
     _train_step: object = None
     _optimizer: object = None
+    _final_forward: object = None
 
     def _encode(self, texts: List[str]) -> jnp.ndarray:
         tokens = np.stack(
@@ -190,14 +191,18 @@ class PromptRunner:
             if self.clip_loss is None:
                 raise ValueError("spacetime mode requires a DCLIPLoss (clip_loss=None)")
             if self._train_step is None:
-                from .spacetime import make_train_step
+                from .spacetime import make_final_forward, make_train_step
 
                 self._optimizer, self._train_step = make_train_step(
+                    self.sd, self.clip_loss, self.cfg, sampler=self.sampler
+                )
+                self._final_forward = make_final_forward(
                     self.sd, self.clip_loss, self.cfg, sampler=self.sampler
                 )
             images, _, _ = optimize_prompt(
                 self.sd, self.clip_loss, inputs, self.cfg, sampler=self.sampler,
                 train_step=self._train_step, optimizer=self._optimizer,
+                final_forward=self._final_forward,
             )
         img = np.asarray(images[0])
         save_image(

@@ -119,6 +119,30 @@ def make_train_step(
     return opt, jax.jit(train_step)
 
 
+def make_final_forward(
+    sd: StableDiffusion,
+    clip_loss: DCLIPLoss,
+    cfg: SpaceTimeConfig,
+    sampler: str = "plms",
+):
+    """Jitted LAST-epoch program: (params, coef, inputs) → (loss, images).
+
+    The reference saves its output image during the final epoch's forward,
+    BEFORE the last `optimizer.step()` applies (`plms.py:280-288`) — so the
+    final epoch's entire backward-through-chain only moves weights nobody
+    reads.  Running the last epoch without grad produces the identical
+    image and skips one full backward (measured: DPM20 b8 method
+    4.07 → 3.05 s/optimized prompt; docs/BENCHMARKS.md round 3)."""
+    import dataclasses as dc
+
+    def final_forward(params, coef, inputs: SpaceTimeInputs):
+        s = dc.replace(sd, unet_params=params["unet"], vae_params=params["vae"])
+        cl = DCLIPLoss(clip_loss.clip, params["clip"], clip_loss.normalize)
+        return generation_loss(coef, s, cl, inputs, cfg, sampler)
+
+    return jax.jit(final_forward)
+
+
 def optimize_prompt(
     sd: StableDiffusion,
     clip_loss: DCLIPLoss,
@@ -127,13 +151,20 @@ def optimize_prompt(
     sampler: str = "plms",
     train_step=None,
     optimizer=None,
+    final_forward=None,
+    final_forward_only: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Any]:
     """Full 3-epoch optimization; returns (final images, coef, losses).
 
     Matches the reference epoch structure: the returned image is the one
     decoded during the *last* epoch's forward (i.e. produced with the
     weights as of the start of that epoch — `plms.py:280-288` saves at
-    epoch 2 before the final optimizer step applies).
+    epoch 2 before the final optimizer step applies).  Because that final
+    optimizer step never influences the saved image, the default
+    `final_forward_only=True` runs the last epoch as a forward-only jit
+    (identical image, one full backward skipped); the returned `coef` is
+    then the one that PRODUCED the image.  Pass `final_forward_only=False`
+    for the reference's literal do-the-dead-update behavior.
     """
     if train_step is None:
         optimizer, train_step = make_train_step(sd, clip_loss, cfg, optimizer, sampler)
@@ -142,7 +173,13 @@ def optimize_prompt(
     opt_state = optimizer.init(coef)
     losses = []
     images = None
-    for _ in range(cfg.epochs):
+    n_train = cfg.epochs - 1 if final_forward_only else cfg.epochs
+    for _ in range(n_train):
         coef, opt_state, loss, images = train_step(params, coef, opt_state, inputs)
+        losses.append(loss)
+    if final_forward_only:
+        if final_forward is None:
+            final_forward = make_final_forward(sd, clip_loss, cfg, sampler)
+        loss, images = final_forward(params, coef, inputs)
         losses.append(loss)
     return images, coef, jnp.stack(losses)

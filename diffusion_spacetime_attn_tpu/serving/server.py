@@ -240,9 +240,10 @@ class SpaceTimeEngine:
     # parallel.sharding.shard_params) — one full-method server per slice
     _train_step: object = field(default=None, repr=False)
     _optimizer: object = field(default=None, repr=False)
+    _final_forward: object = field(default=None, repr=False)
 
     def __post_init__(self):
-        from ..pipeline.spacetime import make_train_step
+        from ..pipeline.spacetime import make_final_forward, make_train_step
 
         if self.mesh is not None:
             ndata = self.mesh.shape["data"]
@@ -251,6 +252,10 @@ class SpaceTimeEngine:
                     f"batch_size {self.batch_size} not divisible by the "
                     f"mesh data axis ({ndata})")
         self._optimizer, self._train_step = make_train_step(
+            self.runner.sd, self.runner.clip_loss, self.runner.cfg,
+            sampler=self.runner.sampler,
+        )
+        self._final_forward = make_final_forward(
             self.runner.sd, self.runner.clip_loss, self.runner.cfg,
             sampler=self.runner.sampler,
         )
@@ -301,7 +306,7 @@ class SpaceTimeEngine:
         images, _, _ = optimize_prompt(
             self.runner.sd, self.runner.clip_loss, inputs, self.runner.cfg,
             sampler=self.runner.sampler, train_step=self._train_step,
-            optimizer=self._optimizer,
+            optimizer=self._optimizer, final_forward=self._final_forward,
         )
         imgs = (np.asarray(images)[:n] * 255.0 + 0.5).clip(0, 255).astype(np.uint8)
         if self.watermark:

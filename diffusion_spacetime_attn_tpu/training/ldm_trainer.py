@@ -242,20 +242,29 @@ class LDMTrainer:
             from ..parallel.mesh import data_sharding, replicated
 
             rep = replicated(self.mesh)
+            # donate the state: without aliasing, old+new state double-buffer
+            # (at v1 scale params+Adam+EMA = 13.8 GB f32 — 2x is over a
+            # v5e's HBM by itself; measured OOM at 24.8 G before donation)
             self._step = jax.jit(
                 self._raw_step,
                 in_shardings=(rep, data_sharding(self.mesh, 4),
                               data_sharding(self.mesh, self.context_rank), rep),
                 out_shardings=(rep, rep),
+                donate_argnums=0,
             )
         elif self.mesh is None:
-            self._step = jax.jit(self._raw_step)
+            self._step = jax.jit(self._raw_step, donate_argnums=0)
         else:
             self._step = None  # built lazily from the state's structure
 
     def init(self, params) -> LDMTrainState:
         if not self.fsdp:
-            return init_state(self.cfg, self.schedule_cfg, params, self.lr)
+            # build INSIDE a jit so the state owns fresh buffers: train_step
+            # donates the state, and aliasing the caller's `params` into it
+            # would delete the caller's arrays on the first step
+            return jax.jit(
+                lambda p: init_state(self.cfg, self.schedule_cfg, p, self.lr)
+            )(params)
         assert self.mesh is not None, "fsdp requires a mesh"
         from ..parallel.mesh import data_sharding, replicated
         from ..parallel.sharding import fsdp_sharding
@@ -277,6 +286,7 @@ class LDMTrainer:
                           data_sharding(self.mesh, self.context_rank),
                           replicated(self.mesh)),
             out_shardings=(self._state_shardings, replicated(self.mesh)),
+            donate_argnums=0,
         )
         return jax.jit(build, out_shardings=self._state_shardings)(params)
 

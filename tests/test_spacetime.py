@@ -128,3 +128,24 @@ def test_optimize_with_dpm_sampler(setup):
     images, coef, losses = optimize_prompt(sd, loss, inputs, cfg1, sampler="dpm")
     assert np.all(np.isfinite(np.asarray(images)))
     assert np.all(np.isfinite(np.asarray(losses)))
+
+
+def test_final_forward_only_image_matches_literal(setup):
+    """The default fast path (last epoch forward-only) must produce the SAME
+    image as the reference's literal behavior (train_step every epoch): the
+    reference saves during the final epoch's forward, BEFORE the last
+    optimizer step applies (`plms.py:280-288`), so the last backward can
+    never influence the saved image."""
+    sd, loss, inputs, st_cfg = setup
+    img_fast, coef_fast, losses_fast = optimize_prompt(
+        sd, loss, inputs, st_cfg, final_forward_only=True)
+    img_lit, coef_lit, losses_lit = optimize_prompt(
+        sd, loss, inputs, st_cfg, final_forward_only=False)
+    # same image (different compiled programs → tiny fp divergence allowed)
+    np.testing.assert_allclose(
+        np.asarray(img_fast), np.asarray(img_lit), atol=1e-5)
+    # same loss trajectory
+    np.testing.assert_allclose(
+        np.asarray(losses_fast), np.asarray(losses_lit), rtol=1e-5)
+    # fast path returns the coef that PRODUCED the image (one fewer update)
+    assert np.abs(np.asarray(coef_fast) - np.asarray(coef_lit)).max() > 0
