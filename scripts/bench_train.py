@@ -58,10 +58,19 @@ def bench_layout(args):
         examples = synthetic_examples(512, rng)
         src = "synthetic"
     batch_list = []
-    for b in batches(examples, tok, args.batch_size, rng, max_len=cfg.max_len):
-        batch_list.append(b)
-        if len(batch_list) >= args.iters + 1:
-            break
+    # cycle over the data source until we have iters+1 distinct-enough
+    # batches — a short pkl (or a raised --iters) must not silently
+    # benchmark fewer iterations, and min(times) on an empty tail raises
+    while len(batch_list) < args.iters + 1:
+        before = len(batch_list)
+        for b in batches(examples, tok, args.batch_size, rng, max_len=cfg.max_len):
+            batch_list.append(b)
+            if len(batch_list) >= args.iters + 1:
+                break
+        if len(batch_list) == before:
+            raise SystemExit(
+                f"data source yields no full batch of {args.batch_size} "
+                f"({len(examples)} examples) — lower --batch-size")
 
     t0 = time.perf_counter()
     params, opt_state, loss, _ = trainer.train_step(params, opt_state, batch_list[0])
@@ -76,6 +85,7 @@ def bench_layout(args):
         times.append(time.perf_counter() - t0)
     return {
         "metric": f"layout_pretrain_step_b{args.batch_size}_{src}",
+        "iters": len(times),
         "s_per_step": round(min(times), 4),
         "items_per_s": round(args.batch_size / min(times), 1),
         "compile_s": round(compile_s, 1),
@@ -126,6 +136,8 @@ def bench_ldm(args):
     )
     params = randomize_params_on_device(shapes, jax.random.PRNGKey(1))
     state = trainer.init(params)
+    del params, shapes  # init() copied them into the (donated) state; a live
+    # extra 3.4 GB f32 copy can push a 16 GB v5e over HBM with EMA enabled
 
     def batch_for(i):
         k = jax.random.PRNGKey(1000 + i)
