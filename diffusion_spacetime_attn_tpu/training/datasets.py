@@ -210,6 +210,70 @@ def load_coco_caption_examples(
     return out
 
 
+COCO_STA_DEFAULT = (
+    "/root/reference/layout_predictor/LayoutTransformer/data/coco/"
+    "annotations/sta_dict.json"
+)
+
+
+def attach_sampled_abs_targets(
+    examples: List[LayoutExample],
+    sta_path: str = COCO_STA_DEFAULT,
+    rng: Optional[np.random.RandomState] = None,
+    margin: float = 0.2,
+) -> List[LayoutExample]:
+    """Give relation-only examples sampled absolute (x, y) targets.
+
+    The reference's epoch is half GPT-3 relation captions (hinge loss) and
+    half real COCO captions with absolute GT centers (GMM NLL) — but the
+    COCO half's `parsed_caption_label_dict.pkl` is a missing blob
+    (`.MISSING_LARGE_BLOBS:5`) and the raw COCO annotation JSONs are not in
+    this environment either.  Without ANY absolute supervision the GMM
+    means are unanchored (the hinge constrains only pairwise differences,
+    `trainer/loss.py:315-333`), so predicted centers can drift out of
+    [0, 1].  Substitute: sample per-object centers from the reference's own
+    recorded COCO statistics (`sta_dict.json` x/y mean+std — the file the
+    reference itself dumps at `COCODataset.py:219-250`), then repair them
+    to satisfy every relation triple at the hinge margin so the two loss
+    terms never conflict.  Deterministic given `rng`.
+    """
+    import json
+
+    with open(sta_path) as f:
+        sta = json.load(f)
+    rng = rng or np.random.RandomState(0)
+    out = []
+    for ex in examples:
+        xy = {}
+        for w in ex.object_word_idx:
+            x = float(np.clip(rng.normal(sta["x_mean"], sta["x_std"]), 0.05, 0.95))
+            y = float(np.clip(rng.normal(sta["y_mean"], sta["y_std"]), 0.05, 0.95))
+            xy[w] = [x, y]
+        # repair pass: order each related pair along the relation axis and
+        # push to >= margin separation (i REL j semantics, y down — matches
+        # hinge_relation_loss direction conventions)
+        for _ in range(4):  # few sweeps settle multi-relation chains
+            for i, j, rel in ex.relations:
+                if rel not in REL_TO_ID or i not in xy or j not in xy:
+                    continue
+                axis = 1 if rel in ("above", "below") else 0
+                lo_idx, hi_idx = ((i, j) if rel in ("above", "left of")
+                                  else (j, i))
+                lo, hi = xy[lo_idx][axis], xy[hi_idx][axis]
+                if hi - lo < margin:
+                    mid = float(np.clip(0.5 * (lo + hi),
+                                        0.02 + margin / 2, 0.98 - margin / 2))
+                    xy[lo_idx][axis] = mid - margin / 2
+                    xy[hi_idx][axis] = mid + margin / 2
+        out.append(
+            dataclasses.replace(
+                ex,
+                abs_xy=[(w, v[0], v[1]) for w, v in xy.items()],
+            )
+        )
+    return out
+
+
 def synthetic_examples(n: int, rng: np.random.RandomState) -> List[LayoutExample]:
     """Tiny synthetic relation corpus for tests: 'the A is REL the B'."""
     nouns = ["dog", "cat", "car", "tree", "bird", "cup", "chair", "lamp"]

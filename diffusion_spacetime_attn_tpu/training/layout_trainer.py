@@ -129,6 +129,23 @@ class LayoutTrainer:
             dist = jnp.linalg.norm(xy - batch.abs_xy, axis=-1)
             n = jnp.clip(jnp.sum(batch.abs_valid), 1.0, None)
             metrics = dict(metrics, mean_center_dist=jnp.sum(dist * batch.abs_valid) / n)
+            # relation satisfaction of the GREEDY centers (margin 0): the
+            # deliverable quality signal — do predicted centers actually
+            # order correctly per relation (i REL j, y down)?
+            xy_all = sample_xy(gmm, greedy_component=True)  # [B, L, 2]
+            p1 = jnp.take_along_axis(
+                xy_all, batch.rel_idx[..., 0:1].repeat(2, -1), axis=1)
+            p2 = jnp.take_along_axis(
+                xy_all, batch.rel_idx[..., 1:2].repeat(2, -1), axis=1)
+            diffs = jnp.stack(
+                [p1[..., 1] - p2[..., 1],   # above: y1 < y2
+                 p2[..., 1] - p1[..., 1],   # below
+                 p1[..., 0] - p2[..., 0],   # left of: x1 < x2
+                 p2[..., 0] - p1[..., 0]],  # right of
+                axis=-1)
+            d = jnp.take_along_axis(diffs, batch.rel_type[..., None], axis=-1)[..., 0]
+            nrel = jnp.clip(jnp.sum(batch.rel_valid), 1.0, None)
+            metrics["rel_satisfied"] = jnp.sum((d < 0) * batch.rel_valid) / nrel
             return loss, metrics
 
         trainer = cls(model, cfg, train_cfg, opt, train_step, eval_step)
@@ -142,11 +159,17 @@ class LayoutTrainer:
 
     # ---- checkpointing (orbax) ----
     def save_checkpoint(self, ckpt_dir: str, step: int, params, opt_state, extra=None):
+        import os
+        import shutil
+
         import orbax.checkpoint as ocp
 
+        path = f"{ckpt_dir}/step_{step}"
+        if os.path.exists(path):  # overwrite (best-val + periodic may land
+            shutil.rmtree(path)   # on the same step)
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(
-                f"{ckpt_dir}/step_{step}",
+                path,
                 {"params": params, "opt_state": opt_state, "extra": extra or {}},
             )
 

@@ -65,18 +65,52 @@ def load_stable_diffusion(
     return sd
 
 
+def find_default_layout_checkpoint() -> Optional[str]:
+    """Locate a TRAINED layout checkpoint dir (one holding best.json, as
+    written by scripts/train_layout.py): $DSTA_LAYOUT_CKPT if set, else the
+    repo-level `saved/layout_gpt3/`.  Returns None when absent — callers
+    fall back to random weights (bench/test mode)."""
+    import os
+
+    candidates = []
+    env = os.environ.get("DSTA_LAYOUT_CKPT")
+    if env:
+        candidates.append(env)
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    candidates.append(os.path.join(repo_root, "saved", "layout_gpt3"))
+    for c in candidates:
+        if os.path.isfile(os.path.join(c, "best.json")):
+            return c
+    return None
+
+
 def load_layout_predictor(
     cfg: LayoutConfig,
     ckpt_path: Optional[str] = None,
     rng: Optional[jax.Array] = None,
 ):
-    """ckpt_path: an orbax checkpoint dir (ours), the reference's fairseq
+    """ckpt_path: a train_layout.py checkpoint dir (holding best.json +
+    config.json — the stored config REBUILDS the trained architecture,
+    overriding `cfg`), a bare orbax params dir, the reference's fairseq
     Rel2Bbox .pth (`checkpoint_90_0.0.pth` naming, full model incl. GMM
     head — `inference_coco.py:467-477`), or a torch .pth with HF RoBERTa
     keys for the backbone only (head randomly initialized)."""
+    import json
+    import os
+
     from ..models.layout.model import create_layout_predictor
 
     rng = jax.random.PRNGKey(0) if rng is None else rng
+    if ckpt_path and os.path.isfile(os.path.join(ckpt_path, "best.json")):
+        # trained-run dir: resolve params path + rebuild the exact config
+        with open(os.path.join(ckpt_path, "best.json")) as f:
+            best = json.load(f)
+        cfg_file = os.path.join(ckpt_path, "config.json")
+        if os.path.isfile(cfg_file):
+            with open(cfg_file) as f:
+                cfg = LayoutConfig(**json.load(f)["layout"])
+        ckpt_path = os.path.join(ckpt_path, best.get("params_path", "best_params"))
     model, params = create_layout_predictor(cfg, rng)
     if ckpt_path:
         if ckpt_path.endswith((".pth", ".pt", ".ckpt", ".safetensors")):
@@ -91,5 +125,5 @@ def load_layout_predictor(
             import orbax.checkpoint as ocp
 
             with ocp.StandardCheckpointer() as ckptr:
-                params = ckptr.restore(ckpt_path, params)
+                params = ckptr.restore(os.path.abspath(ckpt_path), params)
     return model, params

@@ -26,9 +26,19 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     from diffusion_spacetime_attn_tpu.config import LayoutConfig
     from diffusion_spacetime_attn_tpu.pipeline.frontend import LayoutInference
-    from diffusion_spacetime_attn_tpu.utils.loader import load_layout_predictor
+    from diffusion_spacetime_attn_tpu.utils.loader import (
+        find_default_layout_checkpoint,
+        load_layout_predictor,
+    )
     from diffusion_spacetime_attn_tpu.utils.tokenizer import make_roberta_tokenizer
 
+    if args.ckpt is None:
+        args.ckpt = find_default_layout_checkpoint()
+        if args.ckpt:
+            print(f"using trained layout checkpoint: {args.ckpt}")
+        else:
+            print("WARNING: no trained checkpoint found (random weights); "
+                  "train one with scripts/train_layout.py")
     cfg = LayoutConfig()
     model, params = load_layout_predictor(cfg, args.ckpt)
     tok = make_roberta_tokenizer(args.vocab, args.merges)

@@ -170,6 +170,14 @@ def main():
         clip_loss = DCLIPLoss(clip_model, clip_params)
     lcfg = (LayoutConfig(hidden=32, layers=2, heads=2, ffn_dim=64, max_len=32)
             if args.tiny else LayoutConfig())
+    if args.layout_ckpt is None and not args.tiny:
+        from diffusion_spacetime_attn_tpu.utils.loader import (
+            find_default_layout_checkpoint,
+        )
+
+        args.layout_ckpt = find_default_layout_checkpoint()
+        if args.layout_ckpt:
+            print(f"using trained layout checkpoint: {args.layout_ckpt}")
     lmodel, lparams = load_layout_predictor(lcfg, args.layout_ckpt)
     layout = LayoutInference(lmodel, lparams, make_roberta_tokenizer(), lcfg.max_len)
     ctok = make_clip_tokenizer(args.clip_vocab, max_len=cfg.text_encoder.max_len)

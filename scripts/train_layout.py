@@ -21,11 +21,37 @@ def main():
     ap.add_argument("--vocab", default=None)
     ap.add_argument("--merges", default=None)
     ap.add_argument("--val-split", type=float, default=0.1)
+    ap.add_argument("--layers", type=int, default=None,
+                    help="encoder depth (default LayoutConfig; the reference "
+                         "config DECLARES 4 — coco_seq2seq_v9_ablation_4.yaml "
+                         "NUM_LAYERS — though its pickled fairseq args load "
+                         "12 pretrained layers)")
+    ap.add_argument("--heads", type=int, default=None)
+    ap.add_argument("--encoder-lr", type=float, default=None,
+                    help="encoder max LR (reference 1e-6 assumes a PRETRAINED "
+                         "RoBERTa; training from scratch needs ~1e-4)")
+    ap.add_argument("--head-lr", type=float, default=None)
+    ap.add_argument("--warmup", type=int, default=None)
+    ap.add_argument("--hold", type=int, default=None)
+    ap.add_argument("--decay", type=int, default=None)
+    ap.add_argument("--abs-stats", default="default",
+                    help="sample relation-consistent absolute anchors from "
+                         "COCO stats (sta_dict.json) for relation-only "
+                         "examples — substitute for the reference's missing "
+                         "COCO absolute half; 'none' disables")
     ap.add_argument("--fsdp", action="store_true",
                     help="shard params + dual-LR optimizer state over the "
                          "data axis (ZeRO-style; multi-device only)")
     ap.add_argument("--log-every", type=int, default=100)
     ap.add_argument("--synthetic", action="store_true", help="use synthetic corpus")
+    ap.add_argument("--cpu", action="store_true", help="force host CPU")
+    ap.add_argument("--save-best-every", type=int, default=25,
+                    help="epochs between best-params disk flushes (the best "
+                         "tree is tracked on device; also flushed at end)")
+    ap.add_argument("--ckpt-every", type=int, default=50,
+                    help="epochs between full (params+opt) resume checkpoints")
+    ap.add_argument("--limit", type=int, default=None,
+                    help="cap example count (smoke runs)")
     ap.add_argument("--coco-instances", default=None,
                     help="COCO instances JSON (adds absolute-target half)")
     ap.add_argument("--vg-instances", default=None,
@@ -36,6 +62,9 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
     from diffusion_spacetime_attn_tpu.config import LayoutConfig, LayoutTrainConfig
@@ -64,6 +93,18 @@ def main():
         print(f"loaded {len(examples)} VG-MSDN scene-graph examples")
     else:
         examples = load_gpt3_examples(args.gpt3_pkl)
+        if args.abs_stats != "none":
+            from diffusion_spacetime_attn_tpu.training.datasets import (
+                COCO_STA_DEFAULT,
+                attach_sampled_abs_targets,
+            )
+
+            sta = (COCO_STA_DEFAULT if args.abs_stats == "default"
+                   else args.abs_stats)
+            if os.path.exists(sta):
+                examples = attach_sampled_abs_targets(
+                    examples, sta, np.random.RandomState(1))
+                print(f"attached sampled absolute anchors from {sta}")
         if args.coco_instances and args.coco_captions:
             from diffusion_spacetime_attn_tpu.training.datasets import (
                 load_coco_caption_examples,
@@ -76,12 +117,30 @@ def main():
             logger_msg = f"added {len(coco)} COCO absolute-target examples"
             print(logger_msg)
             examples = examples + coco
+    if args.limit:
+        examples = examples[: args.limit]
     n_val = int(len(examples) * args.val_split)
     val, train = examples[:n_val], examples[n_val:]
     logger.info(f"{len(train)} train / {len(val)} val examples")
 
+    import dataclasses as dc
+
     cfg = LayoutConfig()
+    if args.layers is not None:
+        cfg = dc.replace(cfg, layers=args.layers)
+    if args.heads is not None:
+        cfg = dc.replace(cfg, heads=args.heads)
     train_cfg = LayoutTrainConfig(batch_size=args.batch_size, epochs=args.epochs)
+    overrides = {}
+    for name, ov in (("encoder_max_lr", args.encoder_lr),
+                     ("head_max_lr", args.head_lr),
+                     ("warmup_steps", args.warmup),
+                     ("hold_steps", args.hold),
+                     ("decay_steps", args.decay)):
+        if ov is not None:
+            overrides[name] = ov
+    if overrides:
+        train_cfg = dc.replace(train_cfg, **overrides)
     model, params = create_layout_predictor(cfg, jax.random.PRNGKey(0))
     if args.fsdp and len(jax.devices()) > 1:
         from diffusion_spacetime_attn_tpu.parallel.mesh import make_mesh
@@ -100,13 +159,48 @@ def main():
         )
         logger.info(f"resumed from step {args.resume_step}")
 
-    jlog = JsonLogger(os.path.join(args.ckpt_dir, "train_log.jsonl")
-                      if os.path.isdir(args.ckpt_dir) or not os.path.exists(args.ckpt_dir)
-                      else None)
     os.makedirs(args.ckpt_dir, exist_ok=True)
+    jlog = JsonLogger(os.path.join(args.ckpt_dir, "train_log.jsonl"))
+    # persist the model/train config beside the checkpoints so inference can
+    # rebuild the exact architecture (utils.loader reads this)
+    import json
+
+    with open(os.path.join(args.ckpt_dir, "config.json"), "w") as f:
+        json.dump({"layout": dc.asdict(cfg), "train": dc.asdict(train_cfg)},
+                  f, indent=1)
+
+    def save_best_params(params, step, epoch, vmean, vmetrics):
+        """Params-only orbax checkpoint + best.json pointer (what
+        utils.loader.load_layout_predictor consumes)."""
+        import shutil
+
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(args.ckpt_dir, "best_params"))
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, jax.tree_util.tree_map(np.asarray, params))
+        with open(os.path.join(args.ckpt_dir, "best.json"), "w") as f:
+            json.dump({"step": step, "epoch": epoch, "val_loss": vmean,
+                       "params_path": "best_params",
+                       "val_metrics": vmetrics}, f, indent=1)
 
     step = args.resume_step or 0
     best_val = float("inf")
+    # best params tracked as an ON-DEVICE copy (a host device_get of the
+    # full tree per improving epoch would dominate wall time over the
+    # tunnel); flushed to disk every --save-best-every epochs + at the end
+    best_snapshot = None  # (params_copy, step, epoch, vmean, vmetrics)
+    best_dirty = False
+    copy_tree = jax.jit(lambda t: jax.tree_util.tree_map(lambda x: x + 0, t))
+
+    def flush_best():
+        nonlocal best_dirty
+        if best_snapshot is not None and best_dirty:
+            save_best_params(*best_snapshot)
+            best_dirty = False
+
     for epoch in range(args.epochs):
         for batch in batches(train, tok, args.batch_size, rng, max_len=cfg.max_len):
             params, opt_state, loss, metrics = trainer.train_step(
@@ -121,26 +215,36 @@ def main():
             step += 1
         # validation
         if val:
-            vlosses = []
+            vlosses, vmetrics = [], {}
             for batch in batches(val, tok, args.batch_size, rng, max_len=cfg.max_len,
                                  drop_last=False):
                 vl, vm = trainer.eval_step(params, batch)
                 vlosses.append(float(vl))
+                for k, v in vm.items():
+                    vmetrics.setdefault(k, []).append(float(v))
             vmean = float(np.mean(vlosses))
-            logger.info(f"epoch {epoch}: val_loss {vmean:.4f}")
-            jlog.log("val", epoch=epoch, val_loss=vmean)
+            vmetrics = {k: float(np.mean(v)) for k, v in vmetrics.items()}
+            logger.info(f"epoch {epoch}: val_loss {vmean:.4f} "
+                        + " ".join(f"{k}={v:.4f}" for k, v in vmetrics.items()))
+            jlog.log("val", epoch=epoch, val_loss=vmean, **vmetrics)
             if vmean < best_val:
                 best_val = vmean
-                trainer.save_checkpoint(
-                    os.path.abspath(args.ckpt_dir), step, params, opt_state,
-                    extra={"epoch": epoch, "val_loss": vmean},
-                )
-        if epoch % train_cfg.checkpoint_every == 0:
+                best_snapshot = (copy_tree(params), step, epoch, vmean, vmetrics)
+                best_dirty = True
+        if epoch and epoch % args.save_best_every == 0:
+            flush_best()
+        if epoch and epoch % args.ckpt_every == 0:
             trainer.save_checkpoint(
                 os.path.abspath(args.ckpt_dir), step, params, opt_state,
                 extra={"epoch": epoch},
             )
-    logger.info("training complete")
+    flush_best()
+    trainer.save_checkpoint(
+        os.path.abspath(args.ckpt_dir), step, params, opt_state,
+        extra={"epoch": args.epochs - 1, "final": True},
+    )
+    logger.info(f"training complete; best val {best_val:.4f} "
+                f"(epoch {best_snapshot[2] if best_snapshot else -1})")
 
 
 if __name__ == "__main__":

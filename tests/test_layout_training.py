@@ -315,3 +315,97 @@ def test_layout_trainer_fsdp_matches_replicated():
     a = jax.tree_util.tree_leaves(p0)[0]
     b = jax.tree_util.tree_leaves(p1)[0]
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
+
+
+@pytest.mark.smoke
+def test_attach_sampled_abs_targets_satisfies_relations(tmp_path):
+    """The sampled-anchor substitute for the missing COCO absolute half
+    (docs/LAYOUT_TRAINING.md): anchors come from the reference's own
+    sta_dict.json statistics and the repair pass must order every related
+    pair along the relation axis at >= the hinge margin, so the GMM-NLL
+    and hinge terms never conflict."""
+    import json
+
+    from diffusion_spacetime_attn_tpu.training.datasets import (
+        LayoutExample,
+        attach_sampled_abs_targets,
+    )
+
+    sta = tmp_path / "sta_dict.json"
+    sta.write_text(json.dumps({"x_mean": 0.5, "x_std": 0.2,
+                               "y_mean": 0.5, "y_std": 0.2}))
+    rng = np.random.RandomState(0)
+    exs = []
+    rels = ["above", "below", "left of", "right of"]
+    for k in range(32):
+        exs.append(LayoutExample(
+            caption="t", words=["a", "b", "c"],
+            object_word_idx=[0, 1, 2],
+            relations=[[0, 1, rels[k % 4]], [1, 2, rels[(k + 1) % 4]]],
+        ))
+    out = attach_sampled_abs_targets(exs, str(sta), rng=rng, margin=0.2)
+    assert len(out) == len(exs)
+    for ex in out:
+        xy = {w: (x, y) for w, x, y in ex.abs_xy}
+        assert set(xy) == {0, 1, 2}
+        for (x, y) in xy.values():
+            assert 0.0 <= x <= 1.0 and 0.0 <= y <= 1.0
+        for i, j, rel in ex.relations:
+            axis = 1 if rel in ("above", "below") else 0
+            d = xy[j][axis] - xy[i][axis]
+            if rel in ("above", "left of"):
+                assert d >= 0.2 - 1e-6, (rel, xy[i], xy[j])
+            else:
+                assert -d >= 0.2 - 1e-6, (rel, xy[i], xy[j])
+    # deterministic given the rng seed
+    out2 = attach_sampled_abs_targets(exs, str(sta),
+                                      rng=np.random.RandomState(0))
+    assert out[0].abs_xy == out2[0].abs_xy
+
+
+@pytest.mark.smoke
+def test_trained_run_dir_loading(tmp_path, monkeypatch):
+    """scripts/train_layout.py's output layout (best.json + config.json +
+    best_params orbax dir) loads through utils.loader: the stored config
+    rebuilds the trained architecture even when the caller passes a
+    different cfg, and find_default_layout_checkpoint honors
+    DSTA_LAYOUT_CKPT."""
+    import dataclasses as dc
+    import json
+
+    import orbax.checkpoint as ocp
+
+    from diffusion_spacetime_attn_tpu.utils.loader import (
+        find_default_layout_checkpoint,
+        load_layout_predictor,
+    )
+
+    model, params = create_layout_predictor(TINY, jax.random.PRNGKey(1))
+    ckdir = tmp_path / "run"
+    ckdir.mkdir()
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(str(ckdir / "best_params"),
+                   jax.tree_util.tree_map(np.asarray, params))
+    (ckdir / "best.json").write_text(json.dumps(
+        {"step": 7, "epoch": 3, "val_loss": -1.0,
+         "params_path": "best_params"}))
+    (ckdir / "config.json").write_text(json.dumps(
+        {"layout": dc.asdict(TINY), "train": {}}))
+
+    monkeypatch.setenv("DSTA_LAYOUT_CKPT", str(ckdir))
+    found = find_default_layout_checkpoint()
+    assert found == str(ckdir)
+
+    # pass a DIFFERENT cfg — loader must rebuild from the stored config
+    other = dc.replace(TINY, layers=1, heads=1)
+    model2, params2 = load_layout_predictor(other, found)
+    la = jax.tree_util.tree_leaves(params)
+    lb = jax.tree_util.tree_leaves(params2)
+    assert len(la) == len(lb)
+    for a, b in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    monkeypatch.delenv("DSTA_LAYOUT_CKPT")
+    monkeypatch.chdir(tmp_path)  # no repo saved/ dir in sight
+    # (repo-level saved/layout_gpt3 may exist on the build box; only assert
+    # the env override worked above)
