@@ -69,11 +69,12 @@ def _bilinear_matrix(src: int, dst: int) -> np.ndarray:
 
 def bilinear_resize(images: jnp.ndarray, size: int) -> jnp.ndarray:
     """Half-pixel bilinear (torch align_corners=False, no antialias) as two
-    separable matmuls."""
-    src = images.shape[1]
-    w = jnp.asarray(_bilinear_matrix(src, size))
-    out = jnp.einsum("js,bshc->bjhc", w, images)
-    out = jnp.einsum("kh,bjhc->bjkc", w, out)
+    separable matmuls.  Accepts rectangular inputs [b, h, w, c] → [b, size,
+    size, c] (h ≠ w gets a weight matrix per axis)."""
+    wh = jnp.asarray(_bilinear_matrix(images.shape[1], size))
+    ww = jnp.asarray(_bilinear_matrix(images.shape[2], size))
+    out = jnp.einsum("js,bshc->bjhc", wh, images)
+    out = jnp.einsum("kh,bjhc->bjkc", ww, out)
     return out
 
 
