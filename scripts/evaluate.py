@@ -2,11 +2,18 @@
 """Evaluation CLI: object recall + relation accuracy over a results folder
 (reference: `evaluation/detector_result_gpt.py` + `relation_result_gpt.py`).
 
-The detector is pluggable: pass `--detections detections.json` (a JSON
-mapping image filename → [[x1,y1,x2,y2,category,score], ...]) produced by
-any detector (e.g. detrex DINO-Swin-L as in the reference, run wherever the
-GPU lives); the protocol math runs here.  `--clip-score` additionally
-computes the self-contained CLIP fidelity metric on TPU.
+The detector is pluggable:
+
+- `--detections detections.json` (filename → [[x1,y1,x2,y2,category,score],
+  ...]) produced by any detector — e.g. detrex DINO-Swin-L as in the
+  reference, run wherever the GPU lives (`scripts/export_detections.py`).
+- `--detector clip` runs the self-contained CLIP grid detector on TPU — a
+  calibrated APPROXIMATION (see docs/EVALUATION.md); it prints the
+  calibration caveat and the weight provenance, and can `--dump-detections`
+  an interchangeable JSON artifact.
+
+`--clip-score` additionally computes the CLIP fidelity metric.  `--json-out`
+writes every computed number (plus provenance flags) as one JSON file.
 """
 import argparse
 import json
@@ -16,115 +23,141 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def tiny_clip_cfg():
+    from diffusion_spacetime_attn_tpu.config import (
+        CLIPConfig,
+        CLIPTextConfig,
+        CLIPVisionConfig,
+    )
+
+    # image_size=14: the clip-score path feeds global_resize's fixed x7/16
+    # composite (32px tiny images -> 14), mirroring run_dataset.py's tiny
+    # loss_clip config
+    return CLIPConfig(
+        vision=CLIPVisionConfig(image_size=14, patch_size=7, width=16,
+                                layers=2, heads=2, projection_dim=8),
+        text=CLIPTextConfig(width=16, layers=2, heads=2,
+                            vocab_size=49408, max_len=7),
+        projection_dim=8,
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--results", default="result_outputs")
     ap.add_argument("--dataset", choices=["gpt", "mscoco", "vsr"], default="gpt")
     ap.add_argument("--data-root", default="/root/reference/datasets")
     ap.add_argument("--detections", default=None, help="detections JSON")
+    ap.add_argument("--detector", choices=["clip"], default=None,
+                    help="run the on-TPU CLIP grid detector (calibrated "
+                         "approximation — prints the caveat)")
+    ap.add_argument("--dump-detections", default=None,
+                    help="with --detector clip: also write the detections "
+                         "JSON (interchangeable with the detrex route)")
     ap.add_argument("--conf-recall", type=float, default=0.4)
     ap.add_argument("--conf-relation", type=float, default=0.5)
     ap.add_argument("--clip-score", action="store_true")
     ap.add_argument("--clip-ckpt", default=None)
     ap.add_argument("--clip-vocab", default=None)
+    ap.add_argument("--json-out", default=None)
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny CLIP towers (CPU protocol tests)")
+    ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
-    from diffusion_spacetime_attn_tpu.eval.metrics import (
-        Detection,
-        object_recall,
-        parse_gpt_ground_truth,
-        parse_pkl_ground_truth,
-        relation_accuracy,
-        result_index,
-    )
+    if args.cpu:
+        import jax
 
-    if args.dataset == "gpt":
-        gt_objects, gt_relations = parse_gpt_ground_truth(
-            os.path.join(args.data_root, "gpt.txt")
-        )
-    else:
-        gt_objects, gt_relations = parse_pkl_ground_truth(
-            os.path.join(args.data_root, f"{args.dataset}.pkl")
-        )
+        jax.config.update("jax_platforms", "cpu")
 
-    files = sorted(
-        f for f in os.listdir(args.results) if result_index(f) is not None
-    )
-    indices = [result_index(f) for f in files]
+    from diffusion_spacetime_attn_tpu.eval import protocol
+
+    files = protocol.list_result_files(args.results)
     print(f"{len(files)} result images")
+    report = {"results_dir": args.results, "dataset": args.dataset,
+              "n_images": len(files)}
 
+    detections = None
     if args.detections:
-        dets_raw = json.load(open(args.detections))
-        dets, objs, rels = [], [], []
-        for f, idx in zip(files, indices):
-            rows = dets_raw.get(f, [])
-            dets.append(
-                [Detection(tuple(r[:4]), r[4], r[5]) for r in rows]
-            )
-            objs.append(gt_objects[idx])
-            rels.append(gt_relations[idx])
-        corr, cnt, rec = object_recall(dets, objs, args.conf_recall)
-        print(f"All object numbers: {cnt}")
-        print(f"Generated object numbers: {corr}")
-        print(f"object recall: {rec:.4f}")
-        rc, rn, racc = relation_accuracy(dets, rels, args.conf_relation)
-        print(f"relation accuracy: {racc:.4f} ({rc}/{rn})")
+        detections = json.load(open(args.detections))
+        report["detector"] = "external-json"
+    elif args.detector == "clip":
+        print(f"NOTE: {protocol.CLIP_DETECTOR_CAVEAT}", file=sys.stderr)
+        det, provenance = protocol.build_clip_detector(
+            args.clip_ckpt, args.clip_vocab,
+            cfg=tiny_clip_cfg() if args.tiny else None,
+        )
+        if provenance == "random":
+            print("WARNING: random CLIP weights — detections exercise the "
+                  "mechanism only; scores are not meaningful", file=sys.stderr)
+        detections = protocol.detect_folder(args.results, det, files,
+                                            log=print)
+        report["detector"] = "clip-grid (calibrated approximation)"
+        report["detector_weights"] = provenance
+        if args.dump_detections:
+            json.dump(detections, open(args.dump_detections, "w"))
+            print(f"wrote {args.dump_detections}")
+
+    if detections is not None:
+        scores = protocol.score_results(
+            args.results, args.dataset, args.data_root, detections,
+            args.conf_recall, args.conf_relation,
+        )
+        report.update(scores)
+        print(f"All object numbers: {scores['gt_objects']}")
+        print(f"Generated object numbers: {scores['generated_objects']}")
+        print(f"object recall: {scores['object_recall']:.4f}")
+        print(f"relation accuracy: {scores['relation_accuracy']:.4f} "
+              f"({scores['relations_correct']}/{scores['relations_total']})")
 
     if args.clip_score:
         import jax
-        import numpy as np
-        from PIL import Image
+        import jax.numpy as jnp
 
         from diffusion_spacetime_attn_tpu.config import CLIPConfig
-        from diffusion_spacetime_attn_tpu.eval.metrics import clip_scores
         from diffusion_spacetime_attn_tpu.models.clip import CLIP
         from diffusion_spacetime_attn_tpu.pipeline.losses import DCLIPLoss
-        from diffusion_spacetime_attn_tpu.pipeline.runners import parse_gpt_prompts
         from diffusion_spacetime_attn_tpu.utils import convert
         from diffusion_spacetime_attn_tpu.utils.testing import (
             randomize_params_on_device,
         )
         from diffusion_spacetime_attn_tpu.utils.tokenizer import make_clip_tokenizer
-        import jax.numpy as jnp
 
-        cfg = CLIPConfig()
+        cfg = tiny_clip_cfg() if args.tiny else CLIPConfig()
         clip_model = CLIP(cfg)
         if args.clip_ckpt:
             params = convert.convert_openai_clip(
                 convert.load_torch_checkpoint(args.clip_ckpt)
             )
+            report["clip_score_weights"] = args.clip_ckpt
         else:
             print("WARNING: random CLIP weights — score is not meaningful")
+            report["clip_score_weights"] = "random"
             params = randomize_params_on_device(
                 jax.eval_shape(
                     clip_model.init, jax.random.PRNGKey(0),
-                    jnp.zeros((1, 224, 224, 3)), jnp.zeros((1, 77), jnp.int32),
+                    jnp.zeros((1, cfg.vision.image_size,
+                               cfg.vision.image_size, 3)),
+                    jnp.zeros((1, cfg.text.max_len), jnp.int32),
                 )["params"],
                 jax.random.PRNGKey(0),
             )
         loss = DCLIPLoss(clip_model, params)
-        tok = make_clip_tokenizer(args.clip_vocab)
+        tok = make_clip_tokenizer(args.clip_vocab, max_len=cfg.text.max_len)
         tokenize = (
             tok.tokenize if hasattr(tok, "tokenize")
-            else (lambda t: tok.pad_to(tok.encode(t), 77))
+            else (lambda t: tok.pad_to(tok.encode(t), cfg.text.max_len))
         )
-        if args.dataset == "gpt":
-            prompts = parse_gpt_prompts(os.path.join(args.data_root, "gpt.txt"))
-        else:
-            from diffusion_spacetime_attn_tpu.pipeline.runners import parse_line_prompts
+        cs = protocol.clip_score_results(
+            args.results, args.dataset, args.data_root, loss, tokenize,
+        )
+        report.update(cs)
+        print(f"mean CLIP score: {cs['mean_clip_score']} "
+              f"over {cs['n_scored']} images")
 
-            prompts = parse_line_prompts(
-                os.path.join(args.data_root, f"{args.dataset}.txt")
-            )
-        scores = []
-        for f, idx in zip(files, indices):
-            img = np.asarray(
-                Image.open(os.path.join(args.results, f)).convert("RGB"),
-                np.float32,
-            )[None] / 255.0
-            toks = np.asarray(tokenize(prompts[idx]), np.int32)[None]
-            scores.append(float(clip_scores(loss, img, toks)[0]))
-        print(f"mean CLIP score: {np.mean(scores):.4f} over {len(scores)} images")
+    if args.json_out:
+        json.dump(report, open(args.json_out, "w"), indent=1)
+        print(f"wrote {args.json_out}")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,189 @@
+#!/usr/bin/env python
+"""One command for the full generate → detect → score loop, recorded as one
+JSON artifact (VERDICT r3 next-#1).
+
+Mirrors the reference's end-to-end evaluation flow — `txt2img-gpt.py` sweep
+→ detrex detector → `detector_result_gpt.py:164-166` printed recall +
+`relation_result_gpt.py` relation accuracy — as a single driver:
+
+  python scripts/run_eval_protocol.py --end 32 --sampler dpm --steps 20 \
+      --batch-size 8 --out EVAL_r04.json
+
+Phases (generation runs in a subprocess so its HBM is fully released before
+the detector's CLIP tower loads):
+  1. `run_dataset.py --mode spacetime` over prompts [start, end)
+  2. CLIP grid detector over the generated images → detections JSON
+  3. protocol math (object recall @0.4, relation accuracy @0.5) + mean
+     CLIP fidelity score
+  4. one artifact JSON with every number AND the weight provenance flags —
+     with random SD/CLIP weights the scores exercise the PROTOCOL, not
+     image quality, and the artifact says so machine-readably.
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", choices=["gpt", "mscoco", "vsr"], default="gpt")
+    ap.add_argument("--data-root", default="/root/reference/datasets")
+    ap.add_argument("--mode", choices=["vanilla", "spatial", "spacetime"],
+                    default="spacetime")
+    ap.add_argument("--start", type=int, default=0)
+    ap.add_argument("--end", type=int, default=32)
+    ap.add_argument("--sampler", choices=["plms", "ddim", "dpm"], default="dpm")
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--outdir", default="result_outputs/eval_protocol")
+    ap.add_argument("--out", default="EVAL.json", help="artifact JSON path")
+    ap.add_argument("--ckpt", default=None, help="SD weights (ingested)")
+    ap.add_argument("--layout-ckpt", default=None,
+                    help="default: trained checkpoint via "
+                         "utils.loader.find_default_layout_checkpoint")
+    ap.add_argument("--clip-ckpt", default=None)
+    ap.add_argument("--skip-generate", action="store_true",
+                    help="reuse an existing --outdir (resume after a crash "
+                         "in the detect/score phases)")
+    ap.add_argument("--top-per-category", type=int, default=1)
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny model configs end to end (CPU protocol test)")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    artifact = {
+        "protocol": "generate->detect->score",
+        "dataset": args.dataset,
+        "mode": args.mode,
+        "sampler": f"{args.sampler}{args.steps}",
+        "batch_size": args.batch_size,
+        "prompts": [args.start, args.end],
+        "seed": args.seed,
+    }
+
+    # ---- phase 1: generation sweep (subprocess: frees HBM afterwards) ----
+    t0 = time.perf_counter()
+    if not args.skip_generate:
+        cmd = [sys.executable, os.path.join(REPO, "scripts", "run_dataset.py"),
+               "--dataset", args.dataset, "--data-root", args.data_root,
+               "--mode", args.mode, "--sampler", args.sampler,
+               "--steps", str(args.steps), "--batch-size", str(args.batch_size),
+               "--start", str(args.start), "--end", str(args.end),
+               "--seed", str(args.seed), "--outdir", args.outdir]
+        if args.ckpt:
+            cmd += ["--ckpt", args.ckpt]
+        if args.layout_ckpt:
+            cmd += ["--layout-ckpt", args.layout_ckpt]
+        if args.clip_ckpt:
+            cmd += ["--clip-ckpt", args.clip_ckpt]
+        if args.tiny:
+            cmd += ["--tiny"]
+        if args.cpu:
+            cmd += ["--cpu"]
+        print("+", " ".join(cmd), flush=True)
+        r = subprocess.run(cmd, cwd=REPO)
+        if r.returncode != 0:
+            raise SystemExit(f"generation failed (rc={r.returncode})")
+    artifact["generate_seconds"] = round(time.perf_counter() - t0, 1)
+    artifact["sd_weights"] = args.ckpt or "random"
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from diffusion_spacetime_attn_tpu.eval import protocol
+    from diffusion_spacetime_attn_tpu.utils.loader import (
+        find_default_layout_checkpoint,
+    )
+
+    artifact["layout_weights"] = (
+        args.layout_ckpt or find_default_layout_checkpoint() or "random"
+    ) if not args.tiny else (args.layout_ckpt or "random")
+
+    files = protocol.list_result_files(args.outdir)
+    print(f"{len(files)} generated images in {args.outdir}")
+    if not files:
+        raise SystemExit("no result images — generation produced nothing")
+
+    # ---- phase 2: detection (CLIP grid detector, calibrated approx) ----
+    print(f"NOTE: {protocol.CLIP_DETECTOR_CAVEAT}", file=sys.stderr)
+    from scripts.evaluate import tiny_clip_cfg
+
+    t0 = time.perf_counter()
+    det, provenance = protocol.build_clip_detector(
+        args.clip_ckpt, cfg=tiny_clip_cfg() if args.tiny else None,
+    )
+    detections = protocol.detect_folder(
+        args.outdir, det, files, top_per_category=args.top_per_category,
+        log=lambda m: print(m, flush=True),
+    )
+    det_path = os.path.join(args.outdir, "detections_clip.json")
+    json.dump(detections, open(det_path, "w"))
+    artifact["detect_seconds"] = round(time.perf_counter() - t0, 1)
+    artifact["detector"] = "clip-grid (calibrated approximation)"
+    artifact["detector_weights"] = provenance
+    artifact["detector_calibration"] = {
+        "oracle_recall_iou50": 0.93, "random_floor_recall_iou50": 0.0,
+        "source": "scripts/calibrate_clip_detector.py",
+    }
+    artifact["detections_json"] = det_path
+
+    # ---- phase 3: protocol math + CLIP fidelity ----
+    scores = protocol.score_results(
+        args.outdir, args.dataset, args.data_root, detections,
+    )
+    artifact.update(scores)
+    print(f"object recall: {scores['object_recall']:.4f} "
+          f"({scores['generated_objects']}/{scores['gt_objects']})")
+    print(f"relation accuracy: {scores['relation_accuracy']:.4f} "
+          f"({scores['relations_correct']}/{scores['relations_total']})")
+
+    # CLIP fidelity over the same images (reuses the detector's tower size
+    # only if real weights were given; random weights → flagged)
+    import jax
+    import jax.numpy as jnp
+
+    from diffusion_spacetime_attn_tpu.config import CLIPConfig
+    from diffusion_spacetime_attn_tpu.models.clip import CLIP
+    from diffusion_spacetime_attn_tpu.pipeline.losses import DCLIPLoss
+    from diffusion_spacetime_attn_tpu.utils import convert
+    from diffusion_spacetime_attn_tpu.utils.testing import randomize_params_on_device
+    from diffusion_spacetime_attn_tpu.utils.tokenizer import make_clip_tokenizer
+
+    cfg = tiny_clip_cfg() if args.tiny else CLIPConfig()
+    clip_model = CLIP(cfg)
+    if args.clip_ckpt:
+        params = convert.convert_openai_clip(
+            convert.load_torch_checkpoint(args.clip_ckpt))
+    else:
+        params = randomize_params_on_device(
+            jax.eval_shape(
+                clip_model.init, jax.random.PRNGKey(0),
+                jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3)),
+                jnp.zeros((1, cfg.text.max_len), jnp.int32),
+            )["params"], jax.random.PRNGKey(0))
+    tok = make_clip_tokenizer(None, max_len=cfg.text.max_len)
+    tokenize = (tok.tokenize if hasattr(tok, "tokenize")
+                else (lambda t: tok.pad_to(tok.encode(t), cfg.text.max_len)))
+    cs = protocol.clip_score_results(
+        args.outdir, args.dataset, args.data_root,
+        DCLIPLoss(clip_model, params), tokenize)
+    artifact.update(cs)
+    artifact["clip_score_weights"] = args.clip_ckpt or "random"
+    print(f"mean CLIP score: {cs['mean_clip_score']} over {cs['n_scored']}")
+
+    json.dump(artifact, open(args.out, "w"), indent=1)
+    print(f"wrote {args.out}")
+    print(json.dumps(artifact))
+
+
+if __name__ == "__main__":
+    main()

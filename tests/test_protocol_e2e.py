@@ -101,3 +101,72 @@ def test_resume_skips_completed(sweep):
     )
     assert r.returncode == 0, r.stderr[-3000:]
     assert "resuming: 2 prompts already complete" in r.stdout
+
+
+def test_clip_detector_route_produces_interchangeable_artifact(sweep):
+    """`evaluate.py --detector clip` (the gated on-TPU route, VERDICT r3
+    weak #2/next-#4): must print the calibration caveat, flag random
+    weights, dump a detections JSON interchangeable with the external
+    route, and write the full report JSON."""
+    root, out = sweep
+    det_path = root / "detections_clip.json"
+    rep_path = root / "report.json"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "scripts/evaluate.py", "--results", str(out),
+         "--dataset", "gpt", "--data-root", str(root),
+         "--detector", "clip", "--tiny", "--cpu",
+         "--dump-detections", str(det_path), "--json-out", str(rep_path)],
+        capture_output=True, text=True, timeout=600, cwd=REPO, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "calibrated APPROXIMATION" in r.stderr
+    assert "random CLIP weights" in r.stderr
+    report = json.load(open(rep_path))
+    assert report["detector_weights"] == "random"
+    assert 0.0 <= report["object_recall"] <= 1.0
+    assert 0.0 <= report["relation_accuracy"] <= 1.0
+    # the dumped JSON feeds back through the external-detections route
+    dets = json.load(open(det_path))
+    assert set(dets) == {"final1_s1_index_0.png", "final1_s1_index_1.png"}
+    for rows in dets.values():
+        for x1, y1, x2, y2, cat, score in rows:
+            assert 0 <= x1 < x2 <= 32 and 0 <= y1 < y2 <= 32
+            assert isinstance(cat, str) and 0.0 <= score <= 1.0
+    r2 = subprocess.run(
+        [sys.executable, "scripts/evaluate.py", "--results", str(out),
+         "--dataset", "gpt", "--data-root", str(root),
+         "--detections", str(det_path), "--cpu"],
+        capture_output=True, text=True, timeout=300, cwd=REPO, env=env,
+    )
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert f"object recall: {report['object_recall']:.4f}" in r2.stdout
+
+
+def test_run_eval_protocol_one_command(tmp_path):
+    """The one-command generate→detect→score loop (VERDICT r3 next-#1),
+    tiny/CPU: artifact JSON must carry the numbers AND the provenance
+    flags that make random-weight runs self-describing."""
+    (tmp_path / "gpt.txt").write_text(GPT_TXT)
+    out = tmp_path / "results"
+    art = tmp_path / "EVAL_tiny.json"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "scripts/run_eval_protocol.py", "--dataset", "gpt",
+         "--data-root", str(tmp_path), "--end", "2", "--steps", "2",
+         "--batch-size", "1", "--sampler", "dpm", "--outdir", str(out),
+         "--out", str(art), "--tiny", "--cpu"],
+        capture_output=True, text=True, timeout=900, cwd=REPO, env=env,
+    )
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-3000:])
+    a = json.load(open(art))
+    assert a["sd_weights"] == "random"
+    assert a["detector_weights"] == "random"
+    assert a["clip_score_weights"] == "random"
+    assert a["n_images"] == 2
+    assert a["sampler"] == "dpm2"
+    assert 0.0 <= a["object_recall"] <= 1.0
+    assert a["relations_total"] == 2
+    assert a["mean_clip_score"] is not None
+    assert os.path.exists(a["detections_json"])
+    assert a["detector_calibration"]["oracle_recall_iou50"] == 0.93
