@@ -11,7 +11,7 @@ external detrex DINO-Swin-L detector.  Here the same protocol math
 - ``detections.json`` produced anywhere (the faithful route — detrex on a
   GPU box, `scripts/export_detections.py`), or
 - the self-contained CLIP grid detector (`eval/clip_detector.py`), a
-  calibrated approximation (mechanism ceiling recall@IoU0.5 = 0.93 with an
+  calibrated approximation (mechanism ceiling recall@IoU0.5 = 0.95 with an
   oracle classifier, floor = 0.0 with random embeddings —
   `scripts/calibrate_clip_detector.py`, docs/EVALUATION.md).  Any number it
   produces must be read against that calibration AND the provenance of the
@@ -39,7 +39,7 @@ from .metrics import (
 
 CLIP_DETECTOR_CAVEAT = (
     "CLIP grid detector is a calibrated APPROXIMATION of the reference's "
-    "detrex protocol: mechanism ceiling recall@IoU0.5=0.93 (oracle "
+    "detrex protocol: mechanism ceiling recall@IoU0.5=0.95 (oracle "
     "classifier), floor=0.0 (random embeddings) — "
     "scripts/calibrate_clip_detector.py, docs/EVALUATION.md"
 )

@@ -131,7 +131,7 @@ def main():
     artifact["detector"] = "clip-grid (calibrated approximation)"
     artifact["detector_weights"] = provenance
     artifact["detector_calibration"] = {
-        "oracle_recall_iou50": 0.93, "random_floor_recall_iou50": 0.0,
+        "oracle_recall_iou50": 0.95, "random_floor_recall_iou50": 0.0,
         "source": "scripts/calibrate_clip_detector.py",
     }
     artifact["detections_json"] = det_path

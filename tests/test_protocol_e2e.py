@@ -169,4 +169,4 @@ def test_run_eval_protocol_one_command(tmp_path):
     assert a["relations_total"] == 2
     assert a["mean_clip_score"] is not None
     assert os.path.exists(a["detections_json"])
-    assert a["detector_calibration"]["oracle_recall_iou50"] == 0.93
+    assert a["detector_calibration"]["oracle_recall_iou50"] == 0.95
