@@ -56,12 +56,22 @@ class CLIPAttention(nn.Module):
         k = k.reshape(B, L, self.heads, dh)
         v = v.reshape(B, L, self.heads, dh)
         sim = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        # pin scores/output: under FSDP the out_proj kernel is feature-
+        # sharded, so the chain-backward cotangent otherwise reaches these
+        # softmax ops with mixed feature shardings GSPMD can only reconcile
+        # by involuntary full rematerialization (seen in the pure-FSDP
+        # spacetime dryrun through jvp(CLIP.encode_image)); identity when no
+        # mesh is in context — see ops/attention.py for the same fix
+        from ..ops.spmd import constrain
+
+        sim = constrain(sim, "data", "model", None, None)
         sim = sim * (dh ** -0.5)
         if mask is not None:
             sim = sim + mask
         attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v, preferred_element_type=jnp.float32)
         out = out.reshape(B, L, self.width).astype(x.dtype)
+        out = constrain(out, "data", None, "model")
         return nn.Dense(self.width, dtype=self.dtype, name="out_proj")(out)
 
 

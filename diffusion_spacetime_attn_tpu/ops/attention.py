@@ -257,6 +257,15 @@ def attention(q, k, v, num_heads: int, *, out_dtype=None, flash: bool = False,
     kh = k.reshape(B, Lk, num_heads, dh)
     vh = v.reshape(B, Lk, num_heads, dh)
     sim = jnp.einsum("bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32)
+    # pin the score tensor (batch on 'data', heads on 'model') and the
+    # attention output (inner on 'model'): under FSDP/ZeRO the to_out
+    # kernel is feature-sharded, so the COTANGENT entering here in the
+    # chain backward otherwise inherits mixed feature shardings that GSPMD
+    # reconciles with involuntary full rematerialization at every attn1
+    # softmax op (seen in the pure-FSDP data=8 spacetime dryrun; pins are
+    # linear, so they anchor the transposed tangents too).  Under TP this
+    # is the Megatron head-split layout; single-chip traces are untouched.
+    sim = constrain(sim, "data", "model", None, None)
     if scores_dtype is not None and jnp.dtype(scores_dtype) != jnp.float32:
         # store the materialized score buffer narrow; the cast fuses into the
         # matmul epilogue and the f32 upcast into the softmax fusion
@@ -267,6 +276,7 @@ def attention(q, k, v, num_heads: int, *, out_dtype=None, flash: bool = False,
         preferred_element_type=jnp.float32,
     )
     out = out.reshape(B, Lq, inner)
+    out = constrain(out, "data", None, "model")
     return out.astype(out_dtype or q.dtype)
 
 
