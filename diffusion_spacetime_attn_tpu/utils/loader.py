@@ -65,6 +65,23 @@ def load_stable_diffusion(
     return sd
 
 
+def cast_params(tree, dtype):
+    """Cast every floating leaf to `dtype` (int/bool leaves untouched).
+
+    bf16 params halve parameter HBM (~1.7 GB for SD v1) — the shipped fix
+    for full-method serving's f32-params ResourceExhausted edge
+    (docs/SERVING.md).  Compute dtype is governed separately by each
+    module's config; norms/softmax still run f32 internally."""
+    import jax
+    import jax.numpy as jnp
+
+    d = jnp.dtype(dtype)
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(d) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        tree,
+    )
+
+
 def find_default_layout_checkpoint() -> Optional[str]:
     """Locate a TRAINED layout checkpoint dir (one holding best.json, as
     written by scripts/train_layout.py): $DSTA_LAYOUT_CKPT if set, else the

@@ -51,6 +51,12 @@ def main():
     ap.add_argument("--no-fused-ff", dest="fused_ff", action="store_false")
     ap.add_argument("--scores-dtype", default="bfloat16",
                     help="self-attention score buffer dtype (bfloat16: +10%% vanilla throughput, enables batch 8)")
+    ap.add_argument("--params-dtype", default="float32",
+                    help="cast all model params (bfloat16 saves ~2.7 GB at "
+                         "v1 scale — spacetime b8 with the layout predictor "
+                         "and fidelity CLIP co-resident OOMs at f32 params; "
+                         "see docs/BENCHMARKS.md round 4 for the numerics "
+                         "A/B)")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument(
         "--batch-size", type=int, default=1,
@@ -146,6 +152,18 @@ def main():
             spacetime=SpaceTimeConfig(num_steps=args.steps),
         )
     sd = load_stable_diffusion(cfg, args.ckpt)
+    if args.params_dtype != "float32":
+        import dataclasses as _dc
+
+        from diffusion_spacetime_attn_tpu.utils.loader import cast_params
+
+        sd = _dc.replace(
+            sd,
+            unet_params=cast_params(sd.unet_params, args.params_dtype),
+            vae_params=cast_params(sd.vae_params, args.params_dtype),
+            text_params=cast_params(sd.text_params, args.params_dtype),
+        )
+        print(f"params cast to {args.params_dtype}")
     clip_loss = None
     if args.mode == "spacetime":
         # the DCLIP loss model is only on the tape in spacetime mode; keep
@@ -167,6 +185,10 @@ def main():
                 )["params"],
                 jax.random.PRNGKey(9),
             )
+        if args.params_dtype != "float32":
+            from diffusion_spacetime_attn_tpu.utils.loader import cast_params
+
+            clip_params = cast_params(clip_params, args.params_dtype)
         clip_loss = DCLIPLoss(clip_model, clip_params)
     lcfg = (LayoutConfig(hidden=32, layers=2, heads=2, ffn_dim=64, max_len=32)
             if args.tiny else LayoutConfig())

@@ -49,6 +49,9 @@ def main():
                     help="default: trained checkpoint via "
                          "utils.loader.find_default_layout_checkpoint")
     ap.add_argument("--clip-ckpt", default=None)
+    ap.add_argument("--params-dtype", default="float32",
+                    help="forwarded to run_dataset.py (bfloat16 frees the "
+                         "HBM for spacetime b8 with aux models co-resident)")
     ap.add_argument("--skip-generate", action="store_true",
                     help="reuse an existing --outdir (resume after a crash "
                          "in the detect/score phases)")
@@ -76,7 +79,8 @@ def main():
                "--mode", args.mode, "--sampler", args.sampler,
                "--steps", str(args.steps), "--batch-size", str(args.batch_size),
                "--start", str(args.start), "--end", str(args.end),
-               "--seed", str(args.seed), "--outdir", args.outdir]
+               "--seed", str(args.seed), "--outdir", args.outdir,
+               "--params-dtype", args.params_dtype]
         if args.ckpt:
             cmd += ["--ckpt", args.ckpt]
         if args.layout_ckpt:
@@ -93,6 +97,7 @@ def main():
             raise SystemExit(f"generation failed (rc={r.returncode})")
     artifact["generate_seconds"] = round(time.perf_counter() - t0, 1)
     artifact["sd_weights"] = args.ckpt or "random"
+    artifact["params_dtype"] = args.params_dtype
 
     if args.cpu:
         import jax

@@ -52,6 +52,16 @@ def main():
     ap.add_argument("--clip-vocab", default=None)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--scores-dtype", default="bfloat16")
+    ap.add_argument("--params-dtype", default=None,
+                    help="cast model params (default: bfloat16 in spacetime "
+                         "mode — the ~1.7 GB saver that keeps full-method "
+                         "serving off the HBM edge, docs/SERVING.md; "
+                         "float32 elsewhere). Pass float32 to override.")
+    ap.add_argument("--soak", type=int, default=None, metavar="N",
+                    help="after warmup, run N sequential requests through "
+                         "the engine (varying prompts+seeds), print one "
+                         "JSON line per batch and a summary, then exit — "
+                         "the zero-OOM serving soak (docs/SERVING.md)")
     ap.add_argument("--watermark", default=None, help="payload to embed")
     ap.add_argument("--tiny", action="store_true", help="tiny model smoke mode")
     ap.add_argument("--cpu", action="store_true",
@@ -112,6 +122,24 @@ def main():
                                       guidance_scale=args.scale),
         )
     sd = load_stable_diffusion(cfg, args.ckpt)
+    # bf16 params by default in spacetime mode: f32 params put b2
+    # full-method serving at the HBM edge (intermittent ResourceExhausted,
+    # docs/SERVING.md); the cast saves ~1.7 GB and is A/B'd for numerics
+    # drift in docs/BENCHMARKS.md round 4
+    params_dtype = args.params_dtype or (
+        "bfloat16" if args.mode == "spacetime" else "float32")
+    if params_dtype != "float32":
+        import dataclasses as _dc
+
+        from diffusion_spacetime_attn_tpu.utils.loader import cast_params
+
+        sd = _dc.replace(
+            sd,
+            unet_params=cast_params(sd.unet_params, params_dtype),
+            vae_params=cast_params(sd.vae_params, params_dtype),
+            text_params=cast_params(sd.text_params, params_dtype),
+        )
+        logger.info("params cast to %s", params_dtype)
 
     ctok = make_clip_tokenizer(args.clip_vocab,
                                max_len=cfg.text_encoder.max_len)
@@ -158,9 +186,24 @@ def main():
                     jax.random.PRNGKey(9),
                 )
                 logger.info("no --clip-ckpt: random fidelity-loss CLIP (smoke)")
+            if params_dtype != "float32":
+                from diffusion_spacetime_attn_tpu.utils.loader import (
+                    cast_params,
+                )
+
+                clip_params = cast_params(clip_params, params_dtype)
             clip_loss = DCLIPLoss(clip_model, clip_params)
 
         lcfg = LayoutConfig()
+        if args.layout_ckpt is None and not args.tiny:
+            from diffusion_spacetime_attn_tpu.utils.loader import (
+                find_default_layout_checkpoint,
+            )
+
+            args.layout_ckpt = find_default_layout_checkpoint()
+            if args.layout_ckpt:
+                logger.info("using trained layout checkpoint: %s",
+                            args.layout_ckpt)
         lmodel, lparams = load_layout_predictor(lcfg, args.layout_ckpt)
         layout = LayoutInference(lmodel, lparams, make_roberta_tokenizer(),
                                  lcfg.max_len)
@@ -188,6 +231,38 @@ def main():
     logger.info("warmup done in %.1fs", engine.warmup())
     if args.warmup_only:
         logger.info("--warmup-only: compile cache populated, exiting")
+        return
+    if args.soak:
+        import json as _json
+        import time as _time
+
+        prompts = ["a cat above a dog", "a bird to the left of a car",
+                   "an apple on top of a laptop", "a clock above a bed",
+                   "a dog to the right of a horse", "a vase next to a book"]
+        done, t_all = 0, _time.perf_counter()
+        batch_times = []
+        while done < args.soak:
+            n = min(args.batch, args.soak - done)
+            batch_prompts = [prompts[(done + i) % len(prompts)]
+                             for i in range(n)]
+            seeds = [1000 + done + i for i in range(n)]
+            t0 = _time.perf_counter()
+            imgs = engine.generate_batch(batch_prompts, seeds)
+            dt = _time.perf_counter() - t0
+            batch_times.append(dt)
+            done += n
+            print(_json.dumps({
+                "soak_batch": len(batch_times), "requests_done": done,
+                "n": n, "seconds": round(dt, 2),
+                "img_shape": list(imgs.shape)}), flush=True)
+        print(_json.dumps({
+            "soak_ok": True, "mode": args.mode, "batch_size": args.batch,
+            "params_dtype": params_dtype, "requests": done,
+            "batches": len(batch_times),
+            "total_seconds": round(_time.perf_counter() - t_all, 1),
+            "s_per_request_steady": round(
+                min(batch_times) / args.batch, 2) if batch_times else None,
+        }), flush=True)
         return
     service = BatchingService(
         engine, max_wait_s=args.max_wait, max_queue=args.max_queue,

@@ -158,3 +158,20 @@ def test_image_paths_dataset_lsun_semantics(tmp_path):
     ds_noflip = ImagePathsDataset(paths=[str(p)], size=16, flip_p=0.0)
     np.testing.assert_allclose(ds_flip[0]["image"],
                                ds_noflip[0]["image"][:, ::-1])
+
+
+def test_cast_params_floating_leaves_only():
+    """cast_params (the serving HBM saver, docs/SERVING.md): floating
+    leaves cast, integer leaves untouched, already-narrow leaves pass
+    through."""
+    import jax.numpy as jnp
+
+    from diffusion_spacetime_attn_tpu.utils.loader import cast_params
+
+    tree = {"w": jnp.ones((4, 4), jnp.float32),
+            "ids": jnp.arange(3, dtype=jnp.int32),
+            "half": jnp.ones((2,), jnp.bfloat16)}
+    out = cast_params(tree, "bfloat16")
+    assert out["w"].dtype == jnp.bfloat16
+    assert out["ids"].dtype == jnp.int32
+    assert out["half"].dtype == jnp.bfloat16

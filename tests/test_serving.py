@@ -350,3 +350,30 @@ def test_spacetime_engine_mesh_sharded(engine):
     with pytest.raises(ValueError):
         mk_mesh = make_mesh(data=8)
         SpaceTimeEngine(runner=mk(None).runner, batch_size=3, mesh=mk_mesh)
+
+
+def test_serve_cli_soak_with_bf16_params(tmp_path):
+    """scripts/serve.py --soak N --params-dtype bfloat16 (the zero-OOM
+    serving drill, VERDICT r3 next-#3): runs N requests through the real
+    CLI + engine with cast params and prints the summary JSON line."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "serve.py"),
+         "--tiny", "--cpu", "--mode", "vanilla", "--batch", "2",
+         "--steps", "2", "--soak", "3", "--params-dtype", "bfloat16"],
+        capture_output=True, text=True, timeout=600, cwd=repo, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    lines = [json.loads(l) for l in r.stdout.splitlines()
+             if l.startswith("{")]
+    summary = lines[-1]
+    assert summary["soak_ok"] is True
+    assert summary["requests"] == 3
+    assert summary["params_dtype"] == "bfloat16"
+    assert len(lines) == 3  # batches of 2 + 1, then the summary line
