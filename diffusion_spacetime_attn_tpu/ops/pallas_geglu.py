@@ -78,18 +78,20 @@ def ff_win(M: int, dim: int, inner: int) -> bool:
       fused dim 320     78.90   (+2.9%)
       fused dim 320+640 80.29   (+4.7%)  <- default envelope
 
-    dim 1280 (level 2 + mid) is hard-gated: it lost the isolated scan A/B
-    (small M can't hide the streamed 26 MB weights) AND its best feasible
-    blocking exceeds Mosaic's 16 MB scoped-VMEM limit at M=4096.
-    DSTA_FF_DIMS narrows the allowlist for experiments (comma-separated
-    dims, or 'all' for every dim <= 640)."""
-    if dim > 640:
-        return False
+    dim 1280 (level 2 + mid) is gated off by default: it lost the isolated
+    scan A/B (small M can't hide the streamed 26 MB weights) AND its
+    auto-picked blocking hit Mosaic's 16 MB scoped-VMEM limit at M=4096.
+    DSTA_FF_DIMS overrides the allowlist for experiments: a comma-separated
+    explicit dim list is authoritative (and may admit dims > 640, combined
+    with DSTA_FF_BM/DSTA_FF_BN to force smaller tiles); 'all' means every
+    dim <= 640 (the measured-win envelope)."""
     env = os.environ.get("DSTA_FF_DIMS", "").strip()
     if env and env != "all":
         allowed = {int(s) for s in env.split(",") if s.strip()}
         if dim not in allowed:
             return False
+    elif dim > 640:
+        return False
     return ff_ok(M, dim, inner)
 
 

@@ -161,7 +161,14 @@ def test_ff_win_envelope(monkeypatch):
     assert not ff_win(1024 * 8, 640, 2560)
     monkeypatch.setenv("DSTA_FF_DIMS", "all")
     assert not ff_win(256 * 8, 1280, 5120)      # gate beats 'all'
+    # an EXPLICIT dim list is authoritative and may admit dims > 640
+    # (the experiment knob for re-probing the level-2 geometry)
+    monkeypatch.setenv("DSTA_FF_DIMS", "320,1280")
+    assert ff_win(256 * 8, 1280, 5120)
+    assert ff_win(4096 * 8, 320, 1280)
+    assert not ff_win(1024 * 8, 640, 2560)
     # infeasible rows (M not divisible by any block) stay off regardless
+    monkeypatch.delenv("DSTA_FF_DIMS", raising=False)
     assert not ff_ok(7, 320, 1280)
 
 
