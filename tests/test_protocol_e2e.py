@@ -170,3 +170,34 @@ def test_run_eval_protocol_one_command(tmp_path):
     assert a["mean_clip_score"] is not None
     assert os.path.exists(a["detections_json"])
     assert a["detector_calibration"]["oracle_recall_iou50"] == 0.95
+
+
+def test_compare_outputs_drift_tool(tmp_path):
+    """scripts/compare_outputs.py: identical dirs -> zero drift; a shifted
+    copy -> the exact hand-computed MAE; JSON line parses."""
+    import numpy as np
+    from PIL import Image
+
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.mkdir(); b.mkdir()
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (8, 8, 3), dtype=np.uint8)
+    Image.fromarray(img).save(a / "final2_s1_index_0.png")
+    Image.fromarray(img).save(b / "final2_s1_index_0.png")
+    shifted = np.clip(img.astype(np.int16) + 3, 0, 255).astype(np.uint8)
+    Image.fromarray(img).save(a / "final2_s1_index_1.png")
+    Image.fromarray(shifted).save(b / "final2_s1_index_1.png")
+    Image.fromarray(img).save(a / "only_a.png")  # unmatched: counted, not compared
+
+    r = subprocess.run(
+        [sys.executable, "scripts/compare_outputs.py", str(a), str(b),
+         "--json"],
+        capture_output=True, text=True, timeout=120, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    s = json.loads(r.stdout.strip())
+    assert s["n_images"] == 2 and s["only_in_a"] == 1 and s["only_in_b"] == 0
+    expected = float(np.abs(shifted.astype(np.float32) - img) .mean()) / 255.0
+    assert abs(s["worst_mae"] - expected) < 1e-6
+    assert s["mean_mae"] == pytest.approx(expected / 2, abs=1e-6)
+    assert s["worst_maxdiff"] == pytest.approx(3 / 255.0, abs=1e-6)
