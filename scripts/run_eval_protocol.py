@@ -49,9 +49,11 @@ def main():
                     help="default: trained checkpoint via "
                          "utils.loader.find_default_layout_checkpoint")
     ap.add_argument("--clip-ckpt", default=None)
-    ap.add_argument("--params-dtype", default="float32",
-                    help="forwarded to run_dataset.py (bfloat16 frees the "
-                         "HBM for spacetime b8 with aux models co-resident)")
+    ap.add_argument("--params-dtype", default=None,
+                    help="forwarded to run_dataset.py; default bfloat16 in "
+                         "spacetime mode (f32 params OOM at b8 with the "
+                         "layout+fidelity-CLIP aux models co-resident — "
+                         "docs/BENCHMARKS.md round 4), float32 otherwise")
     ap.add_argument("--skip-generate", action="store_true",
                     help="reuse an existing --outdir (resume after a crash "
                          "in the detect/score phases)")
@@ -60,6 +62,9 @@ def main():
                     help="tiny model configs end to end (CPU protocol test)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
+    if args.params_dtype is None:
+        args.params_dtype = (
+            "bfloat16" if args.mode == "spacetime" else "float32")
 
     artifact = {
         "protocol": "generate->detect->score",
