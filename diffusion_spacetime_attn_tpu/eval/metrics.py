@@ -124,6 +124,63 @@ def parse_gpt_ground_truth(path: str) -> Tuple[List[List[str]], List[List[Tuple[
     return objects, relations
 
 
+def head_category(phrase: str) -> Optional[str]:
+    """COCO category head of a noun phrase ('the silver bed' → 'bed'),
+    longest-category-first, suffix then interior match
+    (`relation_result_vsr.py:141-163` phrase→label convention)."""
+    from ..pipeline.frontend import COCO_CATEGORIES
+
+    low = phrase.lower()
+    for cat in sorted(COCO_CATEGORIES, key=len, reverse=True):
+        if low.endswith(cat) or f" {cat} " in f" {low} ":
+            return cat
+    return None
+
+
+def layout_relation_consistency(
+    pred_centers_per_prompt: List[Optional[Dict[str, Sequence[float]]]],
+    gt_relations_per_prompt: List[List[Tuple[str, str, str]]],
+) -> Dict[str, float]:
+    """Score PREDICTED LAYOUTS (not generated images) against GT relations.
+
+    The image-level relation accuracy (`relation_accuracy` above) measures
+    the whole method — layout predictor + diffusion + detector — and is
+    honestly 0 while the diffusion weights are random.  This metric isolates
+    the layout predictor through the same center-geometry rule
+    (`relation_result_gpt.py:95-110`): a GT (obj1, obj2, rel) counts as
+    *evaluated* when both categories received a predicted center, and as
+    *satisfied* when those centers pass `relation_pass`.  Chance level for
+    a non-degenerate predictor is 0.5.
+
+    `pred_centers_per_prompt[i]` maps category → (x, y) predicted center
+    for prompt i (None when the frontend found no objects).
+    """
+    total = evaluated = satisfied = 0
+    gt_objs = covered = 0
+    for centers, rels in zip(pred_centers_per_prompt, gt_relations_per_prompt):
+        centers = centers or {}
+        for o1, o2, rel in rels:
+            total += 1
+            if o1 in centers and o2 in centers:
+                evaluated += 1
+                c1, c2 = centers[o1], centers[o2]
+                if relation_pass(rel, (c1[0], c1[1], c1[0], c1[1]),
+                                 (c2[0], c2[1], c2[0], c2[1])):
+                    satisfied += 1
+        for o1, o2, _ in rels:
+            for o in (o1, o2):
+                gt_objs += 1
+                covered += o in centers
+    return {
+        "relations_total": total,
+        "relations_evaluated": evaluated,
+        "relations_satisfied": satisfied,
+        "consistency_evaluated": satisfied / evaluated if evaluated else 0.0,
+        "consistency_total": satisfied / total if total else 0.0,
+        "relation_object_coverage": covered / gt_objs if gt_objs else 0.0,
+    }
+
+
 def parse_pkl_ground_truth(path: str):
     """GT from `datasets/{mscoco,vsr}.pkl`: rows
     [caption, words, obj_word_indices, relations_or_None, noun_phrases]
@@ -131,15 +188,6 @@ def parse_pkl_ground_truth(path: str):
     `detector_result_mscoco.py`).  Objects = COCO category head of each noun
     phrase; relations normalized ("at the right side of" → "right of")."""
     import pickle
-
-    from ..pipeline.frontend import COCO_CATEGORIES
-
-    def head_category(phrase: str) -> Optional[str]:
-        low = phrase.lower()
-        for cat in sorted(COCO_CATEGORIES, key=len, reverse=True):
-            if low.endswith(cat) or f" {cat} " in f" {low} ":
-                return cat
-        return None
 
     with open(path, "rb") as f:
         rows = pickle.load(f)

@@ -3,6 +3,8 @@ import pytest
 
 from diffusion_spacetime_attn_tpu.eval.metrics import (
     Detection,
+    head_category,
+    layout_relation_consistency,
     object_recall,
     parse_gpt_ground_truth,
     relation_accuracy,
@@ -71,6 +73,31 @@ def test_relation_accuracy_protocol():
     assert (corr, cnt, acc) == (1, 1, 1.0)
     rels = [[("dog", "cat", "right of")]]
     assert relation_accuracy(dets, rels)[0] == 0
+
+
+def test_layout_relation_consistency_metric():
+    """Predicted-layout consistency: evaluated/satisfied/coverage counting."""
+    preds = [
+        {"dog": (0.2, 0.5), "cat": (0.8, 0.5)},  # dog left of cat: satisfied
+        {"dog": (0.9, 0.5), "cat": (0.1, 0.5)},  # dog left of cat: violated
+        {"dog": (0.5, 0.5)},                     # cat missing: not evaluated
+        None,                                    # frontend found nothing
+    ]
+    rels = [[("dog", "cat", "left of")]] * 4
+    s = layout_relation_consistency(preds, rels)
+    assert s["relations_total"] == 4
+    assert s["relations_evaluated"] == 2
+    assert s["relations_satisfied"] == 1
+    assert s["consistency_evaluated"] == 0.5
+    assert s["consistency_total"] == 0.25
+    # coverage: 8 object slots, covered = 2+2+1+0 = 5
+    assert s["relation_object_coverage"] == 5 / 8
+
+
+def test_head_category():
+    assert head_category("the silver bed") == "bed"
+    assert head_category("a stop sign on the corner") == "stop sign"
+    assert head_category("quux") is None
 
 
 def test_result_index_naming():
