@@ -42,6 +42,12 @@ def main():
     ap.add_argument("--fsdp", action="store_true",
                     help="shard params + dual-LR optimizer state over the "
                          "data axis (ZeRO-style; multi-device only)")
+    ap.add_argument("--select-metric", choices=["val_loss", "rel_satisfied"],
+                    default="val_loss",
+                    help="best-checkpoint criterion: val_loss = reference "
+                         "parity (Pretrain.py:101-114); rel_satisfied "
+                         "targets the deployed relation-consistency "
+                         "protocol (val_loss tiebreak)")
     ap.add_argument("--log-every", type=int, default=100)
     ap.add_argument("--synthetic", action="store_true", help="use synthetic corpus")
     ap.add_argument("--cpu", action="store_true", help="force host CPU")
@@ -184,10 +190,21 @@ def main():
         with open(os.path.join(args.ckpt_dir, "best.json"), "w") as f:
             json.dump({"step": step, "epoch": epoch, "val_loss": vmean,
                        "params_path": "best_params",
+                       "select_metric": args.select_metric,
                        "val_metrics": vmetrics}, f, indent=1)
 
     step = args.resume_step or 0
-    best_val = float("inf")
+    def selection_score(vmean, vmetrics):
+        """Lower is better.  `val_loss` is the reference's criterion
+        (`Pretrain.py:101-114`); `rel_satisfied` targets the deployed
+        protocol metric (docs/EVALUATION.md layout relation consistency)
+        with val_loss as the tiebreak so degenerate high-NLL epochs with
+        equal satisfaction don't win."""
+        if args.select_metric == "rel_satisfied":
+            return (-vmetrics.get("rel_satisfied", 0.0), vmean)
+        return (vmean,)
+
+    best_val = (float("inf"),)
     # best params tracked as an ON-DEVICE copy (a host device_get of the
     # full tree per improving epoch would dominate wall time over the
     # tunnel); flushed to disk every --save-best-every epochs + at the end
@@ -227,8 +244,9 @@ def main():
             logger.info(f"epoch {epoch}: val_loss {vmean:.4f} "
                         + " ".join(f"{k}={v:.4f}" for k, v in vmetrics.items()))
             jlog.log("val", epoch=epoch, val_loss=vmean, **vmetrics)
-            if vmean < best_val:
-                best_val = vmean
+            score = selection_score(vmean, vmetrics)
+            if score < best_val:
+                best_val = score
                 best_snapshot = (copy_tree(params), step, epoch, vmean, vmetrics)
                 best_dirty = True
         if epoch and epoch % args.save_best_every == 0:
@@ -243,8 +261,8 @@ def main():
         os.path.abspath(args.ckpt_dir), step, params, opt_state,
         extra={"epoch": args.epochs - 1, "final": True},
     )
-    logger.info(f"training complete; best val {best_val:.4f} "
-                f"(epoch {best_snapshot[2] if best_snapshot else -1})")
+    logger.info(f"training complete; best {args.select_metric} score "
+                f"{best_val} (epoch {best_snapshot[2] if best_snapshot else -1})")
 
 
 if __name__ == "__main__":
