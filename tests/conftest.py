@@ -50,6 +50,7 @@ _SMOKE = {
     "test_tokenizer_golden.py::test_clip_structural_ids_single_byte_words",
     "test_frontend_eval.py::test_readme_golden_sentence",
     "test_frontend_eval.py::test_relation_pass_matches_reference",
+    "test_frontend_eval.py::test_layout_relation_consistency_metric",
     "test_serving.py::test_engine_shapes_and_seed_determinism",
     "test_retrieval.py::test_exact_search_matches_numpy",
     "test_batch_runner.py::test_batched_vanilla",
