@@ -51,7 +51,8 @@ def main():
     ap.add_argument("--start", type=int, default=0)
     ap.add_argument("--end", type=int, default=None, help="default: all")
     ap.add_argument("--ckpt", default=None,
-                    help="default: utils.loader.find_default_layout_checkpoint")
+                    help="default: utils.loader.find_default_layout_checkpoint;"
+                         " pass 'random' to force random init (tests)")
     ap.add_argument("--random-baseline", action="store_true",
                     help="also score randomly-initialized weights (~0.5)")
     ap.add_argument("--out", default=None, help="artifact JSON path")
@@ -87,7 +88,8 @@ def main():
     prompts = prompts[args.start:end]
     gt_relations = gt_relations[args.start:end]
 
-    ckpt = args.ckpt or find_default_layout_checkpoint()
+    ckpt = (None if args.ckpt == "random"
+            else args.ckpt or find_default_layout_checkpoint())
     cfg = LayoutConfig()
     tok = make_roberta_tokenizer(None, None)
 

@@ -172,6 +172,32 @@ def test_run_eval_protocol_one_command(tmp_path):
     assert a["detector_calibration"]["oracle_recall_iou50"] == 0.95
 
 
+def test_eval_layout_consistency_one_command(tmp_path):
+    """`scripts/eval_layout_consistency.py` end to end on a 2-record gpt
+    fixture with random weights: the artifact must carry the per-row
+    counting fields and the real frontend path must cover both objects
+    (docs/EVALUATION.md layout relation consistency)."""
+    (tmp_path / "gpt.txt").write_text(GPT_TXT)
+    art = tmp_path / "LAYOUT_EVAL_tiny.json"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "scripts/eval_layout_consistency.py", "--dataset",
+         "gpt", "--data-root", str(tmp_path), "--end", "2", "--cpu",
+         "--ckpt", "random", "--out", str(art)],
+        capture_output=True, text=True, timeout=900, cwd=REPO, env=env,
+    )
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-3000:])
+    a = json.load(open(art))
+    assert a["chance_level"] == 0.5
+    t = a["trained"]
+    assert t["weights"] == "random"
+    assert t["relations_total"] == 2
+    # 'dog'/'cat'/'person' are COCO categories the n-gram frontend finds
+    assert t["relations_evaluated"] == 2
+    assert 0 <= t["relations_satisfied"] <= 2
+    assert t["relation_object_coverage"] == 1.0
+
+
 def test_compare_outputs_drift_tool(tmp_path):
     """scripts/compare_outputs.py: identical dirs -> zero drift; a shifted
     copy -> the exact hand-computed MAE; JSON line parses."""
