@@ -249,7 +249,7 @@ class CLIPDetector:
         dets: List[Detection] = []
         for c, name in enumerate(self.categories):
             order = np.argsort(-scores[:, c])
-            for rank in range(top_per_category):
+            for rank in range(min(top_per_category, len(order))):
                 i = order[rank]
                 box = boxes[i]
                 prob = float(probs[i, c])
@@ -263,8 +263,14 @@ class CLIPDetector:
                         b, s = self._refine(im, boxes[j].copy(), c, size)
                         if s is not None and s > best_score:
                             best_box, best_score = b, s
-                    box = best_box if best_box is not None else box
-                    p = _stable_softmax(self._sims(im, box[None]))[0, c]
-                    prob = float(max(prob, p))
+                    # the emitted (box, score) must co-occur: the refined
+                    # box is reported with the prob of ITS crop (carrying the
+                    # discarded grid box's higher prob would pass the
+                    # protocol's conf gate on a crop it never scored)
+                    if best_box is not None:
+                        box = best_box
+                        prob = float(
+                            _stable_softmax(self._sims(im, box[None]))[0, c]
+                        )
                 dets.append(Detection(tuple(np.asarray(box, np.float32)), name, prob))
         return dets

@@ -45,11 +45,22 @@ CLIP_DETECTOR_CAVEAT = (
 )
 
 
-def list_result_files(results_dir: str) -> List[str]:
-    """Result images in reference naming (`final*_s*_index_*.png`), sorted."""
-    return sorted(
+def list_result_files(
+    results_dir: str, prompt_range: Optional[Sequence[int]] = None
+) -> List[str]:
+    """Result images in reference naming (`final*_s*_index_*.png`), sorted.
+
+    `prompt_range=(lo, hi)` keeps only indices in [lo, hi) — outdirs are
+    reused across runs (`run_dataset.py` resumes, never clears), so a
+    scorer that globs everything would silently fold a previous run's
+    stale images into this run's denominators."""
+    files = sorted(
         f for f in os.listdir(results_dir) if result_index(f) is not None
     )
+    if prompt_range is not None:
+        lo, hi = prompt_range
+        files = [f for f in files if lo <= result_index(f) < hi]
+    return files
 
 
 def load_ground_truth(dataset: str, data_root: str):
@@ -111,6 +122,49 @@ def build_clip_detector(
     return det, provenance
 
 
+def build_clip_loss(
+    clip_ckpt: Optional[str] = None,
+    clip_vocab: Optional[str] = None,
+    cfg=None,
+):
+    """Construct the CLIP-fidelity scorer (`DCLIPLoss`) + tokenizer the same
+    way `build_clip_detector` builds the detector tower: real weights when
+    `clip_ckpt` is given, device-random otherwise (provenance returned so
+    callers flag it).  Returns (clip_loss, tokenize, provenance)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import CLIPConfig
+    from ..models.clip import CLIP
+    from ..pipeline.losses import DCLIPLoss
+    from ..utils import convert
+    from ..utils.testing import randomize_params_on_device
+    from ..utils.tokenizer import make_clip_tokenizer
+
+    cfg = cfg or CLIPConfig()
+    clip_model = CLIP(cfg)
+    if clip_ckpt:
+        params = convert.convert_openai_clip(
+            convert.load_torch_checkpoint(clip_ckpt))
+        provenance = clip_ckpt
+    else:
+        params = randomize_params_on_device(
+            jax.eval_shape(
+                clip_model.init, jax.random.PRNGKey(0),
+                jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3)),
+                jnp.zeros((1, cfg.text.max_len), jnp.int32),
+            )["params"],
+            jax.random.PRNGKey(0),
+        )
+        provenance = "random"
+    tok = make_clip_tokenizer(clip_vocab, max_len=cfg.text.max_len)
+    tokenize = (
+        tok.tokenize if hasattr(tok, "tokenize")
+        else (lambda t: tok.pad_to(tok.encode(t), cfg.text.max_len))
+    )
+    return DCLIPLoss(clip_model, params), tokenize, provenance
+
+
 def detect_folder(
     results_dir: str,
     detector,
@@ -148,15 +202,21 @@ def score_results(
     detections: Dict[str, list],
     conf_recall: float = 0.4,
     conf_relation: float = 0.5,
+    prompt_range: Optional[Sequence[int]] = None,
 ) -> dict:
     """Protocol math over a detections mapping (reference thresholds:
     conf 0.4 for recall `detector_result_gpt.py:115`, 0.5 for relations
     `relation_result_gpt.py:95-110`)."""
     gt_objects, gt_relations = load_ground_truth(dataset, data_root)
-    files = list_result_files(results_dir)
+    files = list_result_files(results_dir, prompt_range)
     dets, objs, rels = [], [], []
     for f in files:
         idx = result_index(f)
+        if idx >= len(gt_objects):
+            raise ValueError(
+                f"{f}: prompt index {idx} exceeds {dataset} GT size "
+                f"{len(gt_objects)} — stale images from another dataset/run "
+                "in this outdir? Pass prompt_range or clean the dir.")
         rows = detections.get(f, [])
         dets.append([Detection(tuple(r[:4]), r[4], r[5]) for r in rows])
         objs.append(gt_objects[idx])
@@ -182,6 +242,7 @@ def clip_score_results(
     data_root: str,
     clip_loss,
     tokenize,
+    prompt_range: Optional[Sequence[int]] = None,
 ) -> dict:
     """Mean CLIP fidelity over (image, prompt) pairs — the BASELINE.json
     north-star metric (reference computes it inside the method at
@@ -194,10 +255,14 @@ def clip_score_results(
         prompts = parse_gpt_prompts(os.path.join(data_root, "gpt.txt"))
     else:
         prompts = parse_line_prompts(os.path.join(data_root, f"{dataset}.txt"))
-    files = list_result_files(results_dir)
+    files = list_result_files(results_dir, prompt_range)
     scores = []
     for f in files:
         idx = result_index(f)
+        if idx >= len(prompts):
+            raise ValueError(
+                f"{f}: prompt index {idx} exceeds {dataset} prompt count "
+                f"{len(prompts)} — stale images in this outdir?")
         img = np.asarray(
             Image.open(os.path.join(results_dir, f)).convert("RGB"), np.float32
         )[None] / 255.0

@@ -82,24 +82,46 @@ def cast_params(tree, dtype):
     )
 
 
-def find_default_layout_checkpoint() -> Optional[str]:
-    """Locate a TRAINED layout checkpoint dir (one holding best.json, as
-    written by scripts/train_layout.py): $DSTA_LAYOUT_CKPT if set, else the
-    repo-level `saved/layout_gpt3/`.  Returns None when absent — callers
-    fall back to random weights (bench/test mode)."""
+def _is_loadable_run_dir(path: str) -> bool:
+    """True when `path` is a train_layout.py run dir whose PARAMS actually
+    exist.  best.json + config.json are committed metadata but the orbax
+    params dir is gitignored (241 MB) — on a fresh checkout best.json is
+    present with nothing to load, and defaulting to it would crash every
+    CLI at startup instead of falling back to random weights."""
+    import json
     import os
 
-    candidates = []
+    best = os.path.join(path, "best.json")
+    if not os.path.isfile(best):
+        return False
+    try:
+        with open(best) as f:
+            params_rel = json.load(f).get("params_path", "best_params")
+    except (OSError, ValueError):
+        return False
+    return os.path.exists(os.path.join(path, params_rel))
+
+
+def find_default_layout_checkpoint() -> Optional[str]:
+    """Locate a TRAINED layout checkpoint dir (one holding best.json AND
+    its params): $DSTA_LAYOUT_CKPT if set, else the repo-level
+    `saved/layout_gpt3/`.  Returns None when absent — callers fall back to
+    random weights (bench/test mode).  An explicitly-set DSTA_LAYOUT_CKPT
+    that is not loadable raises rather than silently substituting another
+    checkpoint's numbers."""
+    import os
+
     env = os.environ.get("DSTA_LAYOUT_CKPT")
     if env:
-        candidates.append(env)
+        if not _is_loadable_run_dir(env):
+            raise FileNotFoundError(
+                f"DSTA_LAYOUT_CKPT={env} is not a loadable train_layout.py "
+                "run dir (best.json + its params_path must exist)")
+        return env
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    candidates.append(os.path.join(repo_root, "saved", "layout_gpt3"))
-    for c in candidates:
-        if os.path.isfile(os.path.join(c, "best.json")):
-            return c
-    return None
+    default = os.path.join(repo_root, "saved", "layout_gpt3")
+    return default if _is_loadable_run_dir(default) else None
 
 
 def load_layout_predictor(

@@ -111,43 +111,12 @@ def main():
               f"({scores['relations_correct']}/{scores['relations_total']})")
 
     if args.clip_score:
-        import jax
-        import jax.numpy as jnp
-
-        from diffusion_spacetime_attn_tpu.config import CLIPConfig
-        from diffusion_spacetime_attn_tpu.models.clip import CLIP
-        from diffusion_spacetime_attn_tpu.pipeline.losses import DCLIPLoss
-        from diffusion_spacetime_attn_tpu.utils import convert
-        from diffusion_spacetime_attn_tpu.utils.testing import (
-            randomize_params_on_device,
-        )
-        from diffusion_spacetime_attn_tpu.utils.tokenizer import make_clip_tokenizer
-
-        cfg = tiny_clip_cfg() if args.tiny else CLIPConfig()
-        clip_model = CLIP(cfg)
-        if args.clip_ckpt:
-            params = convert.convert_openai_clip(
-                convert.load_torch_checkpoint(args.clip_ckpt)
-            )
-            report["clip_score_weights"] = args.clip_ckpt
-        else:
+        loss, tokenize, cs_prov = protocol.build_clip_loss(
+            args.clip_ckpt, args.clip_vocab,
+            cfg=tiny_clip_cfg() if args.tiny else None)
+        if cs_prov == "random":
             print("WARNING: random CLIP weights — score is not meaningful")
-            report["clip_score_weights"] = "random"
-            params = randomize_params_on_device(
-                jax.eval_shape(
-                    clip_model.init, jax.random.PRNGKey(0),
-                    jnp.zeros((1, cfg.vision.image_size,
-                               cfg.vision.image_size, 3)),
-                    jnp.zeros((1, cfg.text.max_len), jnp.int32),
-                )["params"],
-                jax.random.PRNGKey(0),
-            )
-        loss = DCLIPLoss(clip_model, params)
-        tok = make_clip_tokenizer(args.clip_vocab, max_len=cfg.text.max_len)
-        tokenize = (
-            tok.tokenize if hasattr(tok, "tokenize")
-            else (lambda t: tok.pad_to(tok.encode(t), cfg.text.max_len))
-        )
+        report["clip_score_weights"] = cs_prov
         cs = protocol.clip_score_results(
             args.results, args.dataset, args.data_root, loss, tokenize,
         )

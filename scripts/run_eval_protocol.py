@@ -118,8 +118,11 @@ def main():
         args.layout_ckpt or find_default_layout_checkpoint() or "random"
     ) if not args.tiny else (args.layout_ckpt or "random")
 
-    files = protocol.list_result_files(args.outdir)
-    print(f"{len(files)} generated images in {args.outdir}")
+    # filter to THIS run's [start, end): outdirs are resumable/reused, and
+    # stale images from a previous run must not enter the denominators
+    files = protocol.list_result_files(args.outdir, (args.start, args.end))
+    print(f"{len(files)} generated images in {args.outdir} "
+          f"(indices [{args.start}, {args.end}))")
     if not files:
         raise SystemExit("no result images — generation produced nothing")
 
@@ -149,6 +152,7 @@ def main():
     # ---- phase 3: protocol math + CLIP fidelity ----
     scores = protocol.score_results(
         args.outdir, args.dataset, args.data_root, detections,
+        prompt_range=(args.start, args.end),
     )
     artifact.update(scores)
     print(f"object recall: {scores['object_recall']:.4f} "
@@ -156,38 +160,14 @@ def main():
     print(f"relation accuracy: {scores['relation_accuracy']:.4f} "
           f"({scores['relations_correct']}/{scores['relations_total']})")
 
-    # CLIP fidelity over the same images (reuses the detector's tower size
-    # only if real weights were given; random weights → flagged)
-    import jax
-    import jax.numpy as jnp
-
-    from diffusion_spacetime_attn_tpu.config import CLIPConfig
-    from diffusion_spacetime_attn_tpu.models.clip import CLIP
-    from diffusion_spacetime_attn_tpu.pipeline.losses import DCLIPLoss
-    from diffusion_spacetime_attn_tpu.utils import convert
-    from diffusion_spacetime_attn_tpu.utils.testing import randomize_params_on_device
-    from diffusion_spacetime_attn_tpu.utils.tokenizer import make_clip_tokenizer
-
-    cfg = tiny_clip_cfg() if args.tiny else CLIPConfig()
-    clip_model = CLIP(cfg)
-    if args.clip_ckpt:
-        params = convert.convert_openai_clip(
-            convert.load_torch_checkpoint(args.clip_ckpt))
-    else:
-        params = randomize_params_on_device(
-            jax.eval_shape(
-                clip_model.init, jax.random.PRNGKey(0),
-                jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3)),
-                jnp.zeros((1, cfg.text.max_len), jnp.int32),
-            )["params"], jax.random.PRNGKey(0))
-    tok = make_clip_tokenizer(None, max_len=cfg.text.max_len)
-    tokenize = (tok.tokenize if hasattr(tok, "tokenize")
-                else (lambda t: tok.pad_to(tok.encode(t), cfg.text.max_len)))
+    # CLIP fidelity over the same images (random weights → flagged)
+    clip_loss, tokenize, cs_prov = protocol.build_clip_loss(
+        args.clip_ckpt, cfg=tiny_clip_cfg() if args.tiny else None)
     cs = protocol.clip_score_results(
-        args.outdir, args.dataset, args.data_root,
-        DCLIPLoss(clip_model, params), tokenize)
+        args.outdir, args.dataset, args.data_root, clip_loss, tokenize,
+        prompt_range=(args.start, args.end))
     artifact.update(cs)
-    artifact["clip_score_weights"] = args.clip_ckpt or "random"
+    artifact["clip_score_weights"] = cs_prov
     print(f"mean CLIP score: {cs['mean_clip_score']} over {cs['n_scored']}")
 
     json.dump(artifact, open(args.out, "w"), indent=1)

@@ -94,6 +94,29 @@ def test_layout_relation_consistency_metric():
     assert s["relation_object_coverage"] == 5 / 8
 
 
+def test_result_file_listing_range_and_stale_guard(tmp_path):
+    """Outdirs are resumable/reused: the scorer must honor prompt_range and
+    raise (not mis-index) on stale images beyond the GT size."""
+    from PIL import Image
+
+    from diffusion_spacetime_attn_tpu.eval import protocol
+
+    (tmp_path / "gpt.txt").write_text(
+        "Objects: dog, cat\nRelation: dog left of cat\n"
+        "Sentence: a dog left of a cat\n\n")
+    for i in (0, 1, 7):  # index 7 = stale leftover from a longer run
+        Image.new("RGB", (8, 8)).save(tmp_path / f"final2_s1_index_{i}.png")
+    files = protocol.list_result_files(str(tmp_path), prompt_range=(0, 2))
+    assert files == ["final2_s1_index_0.png", "final2_s1_index_1.png"]
+    # unranged scoring over the dir sees index 7 > GT size 1 and must raise
+    with pytest.raises(ValueError, match="stale"):
+        protocol.score_results(str(tmp_path), "gpt", str(tmp_path), {})
+    # ranged scoring is clean
+    s = protocol.score_results(
+        str(tmp_path), "gpt", str(tmp_path), {}, prompt_range=(0, 1))
+    assert s["n_images"] == 1
+
+
 def test_head_category():
     assert head_category("the silver bed") == "bed"
     assert head_category("a stop sign on the corner") == "stop sign"

@@ -409,3 +409,32 @@ def test_trained_run_dir_loading(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)  # no repo saved/ dir in sight
     # (repo-level saved/layout_gpt3 may exist on the build box; only assert
     # the env override worked above)
+
+
+def test_checkpoint_discovery_requires_params(tmp_path, monkeypatch):
+    """Fresh-checkout shape: best.json is committed metadata but the orbax
+    params dir is gitignored.  Discovery must NOT return a metadata-only
+    dir (auto-default would crash every CLI at startup), and an EXPLICIT
+    DSTA_LAYOUT_CKPT pointing at one must raise rather than silently
+    substituting another checkpoint."""
+    import json
+
+    from diffusion_spacetime_attn_tpu.utils.loader import (
+        _is_loadable_run_dir,
+        find_default_layout_checkpoint,
+    )
+
+    ckdir = tmp_path / "metadata_only"
+    ckdir.mkdir()
+    (ckdir / "best.json").write_text(json.dumps(
+        {"step": 7, "epoch": 3, "params_path": "best_params"}))
+    assert not _is_loadable_run_dir(str(ckdir))
+
+    monkeypatch.setenv("DSTA_LAYOUT_CKPT", str(ckdir))
+    with pytest.raises(FileNotFoundError):
+        find_default_layout_checkpoint()
+
+    # a loadable dir only needs the params path to exist
+    (ckdir / "best_params").mkdir()
+    assert _is_loadable_run_dir(str(ckdir))
+    assert find_default_layout_checkpoint() == str(ckdir)
