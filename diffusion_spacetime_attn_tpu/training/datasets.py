@@ -274,6 +274,73 @@ def attach_sampled_abs_targets(
     return out
 
 
+# Template paraphrases per relation, as word lists with {a}/{b} slots.
+# Plain copula syntax on purpose: gpt-3.pkl supervision is all long
+# descriptive prose, and the predictor's weakest phrasings in the deployed
+# protocol are the short forms (vsr-style "The X is below the Y.").
+REL_TEMPLATES = {
+    "above": [
+        "The {a} is above the {b} .",
+        "The {a} was perched above the {b} .",
+        "A {a} above a {b} .",
+    ],
+    "below": [
+        "The {a} is below the {b} .",
+        "The {a} was situated beneath the {b} .",
+        "A {a} below a {b} .",
+    ],
+    "left of": [
+        "The {a} is to the left of the {b} .",
+        "The {a} was placed to the left of the {b} .",
+        "A {a} on the left side of the {b} .",
+    ],
+    "right of": [
+        "The {a} is to the right of the {b} .",
+        "The {a} was placed to the right of the {b} .",
+        "A {a} on the right side of the {b} .",
+    ],
+}
+
+
+def augment_with_templates(
+    examples: List[LayoutExample],
+    rng: np.random.RandomState,
+    variants: int = 1,
+) -> List[LayoutExample]:
+    """Paraphrase each supervised relation into `variants` template
+    sentences (drawn without replacement from `REL_TEMPLATES[rel]`).
+
+    Uses ONLY the example's own (object word, relation) supervision — no
+    eval data enters training.  Augmented examples carry hinge supervision
+    only (no `abs_xy` anchors): the point is relation→geometry robustness
+    across phrasings, not more absolute-position targets.  Apply to the
+    TRAIN split only, after the val split, so val metrics stay comparable
+    to un-augmented runs."""
+    out: List[LayoutExample] = []
+    for ex in examples:
+        for i, j, rel in ex.relations:
+            ts = REL_TEMPLATES.get(rel)
+            if ts is None or i >= len(ex.words) or j >= len(ex.words):
+                continue
+            a, b = ex.words[i].strip(), ex.words[j].strip()
+            if not a or not b:
+                continue
+            picks = rng.choice(
+                len(ts), size=min(variants, len(ts)), replace=False)
+            for p in picks:
+                tw = ts[p].split()
+                ia, ib = tw.index("{a}"), tw.index("{b}")
+                words = [a if w == "{a}" else b if w == "{b}" else w
+                         for w in tw]
+                out.append(LayoutExample(
+                    caption=" ".join(words),
+                    words=words,
+                    object_word_idx=[ia, ib],
+                    relations=[[ia, ib, rel]],
+                ))
+    return out
+
+
 def synthetic_examples(n: int, rng: np.random.RandomState) -> List[LayoutExample]:
     """Tiny synthetic relation corpus for tests: 'the A is REL the B'."""
     nouns = ["dog", "cat", "car", "tree", "bird", "cup", "chair", "lamp"]

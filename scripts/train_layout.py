@@ -42,6 +42,10 @@ def main():
     ap.add_argument("--fsdp", action="store_true",
                     help="shard params + dual-LR optimizer state over the "
                          "data axis (ZeRO-style; multi-device only)")
+    ap.add_argument("--augment-templates", type=int, default=0,
+                    help="N template paraphrases per supervised relation "
+                         "added to the TRAIN split (plain copula phrasings; "
+                         "datasets.augment_with_templates)")
     ap.add_argument("--select-metric", choices=["val_loss", "rel_satisfied"],
                     default="val_loss",
                     help="best-checkpoint criterion: val_loss = reference "
@@ -127,6 +131,16 @@ def main():
         examples = examples[: args.limit]
     n_val = int(len(examples) * args.val_split)
     val, train = examples[:n_val], examples[n_val:]
+    if args.augment_templates:
+        from diffusion_spacetime_attn_tpu.training.datasets import (
+            augment_with_templates,
+        )
+
+        aug = augment_with_templates(
+            train, np.random.RandomState(2), variants=args.augment_templates)
+        train = train + aug
+        logger.info(f"template augmentation: +{len(aug)} examples "
+                    f"({args.augment_templates} variants/relation)")
     logger.info(f"{len(train)} train / {len(val)} val examples")
 
     import dataclasses as dc

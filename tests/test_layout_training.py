@@ -411,6 +411,41 @@ def test_trained_run_dir_loading(tmp_path, monkeypatch):
     # the env override worked above)
 
 
+def test_template_augmentation():
+    """augment_with_templates: exact word indices (incl. duplicate object
+    words), hinge-only supervision, deterministic, and every template's
+    {a}/{b} slots resolve."""
+    from diffusion_spacetime_attn_tpu.training.datasets import (
+        REL_TEMPLATES,
+        LayoutExample,
+        augment_with_templates,
+    )
+
+    ex = LayoutExample(
+        caption="the dog chased the dog around",
+        words=["the", "dog", "chased", "the", "dog", "around"],
+        object_word_idx=[1, 4],
+        relations=[[1, 4, "left of"]],
+    )
+    out = augment_with_templates([ex], np.random.RandomState(0), variants=2)
+    assert len(out) == 2
+    for a in out:
+        ia, ib = a.object_word_idx
+        # duplicate object word: indices must point at the SLOT positions
+        assert a.words[ia] == "dog" and a.words[ib] == "dog" and ia != ib
+        assert a.relations == [[ia, ib, "left of"]]
+        assert a.abs_xy is None  # hinge-only supervision
+    # deterministic given the rng seed
+    out2 = augment_with_templates([ex], np.random.RandomState(0), variants=2)
+    assert [a.caption for a in out] == [a.caption for a in out2]
+    # unknown relations are skipped, not crashed on
+    bad = LayoutExample("x", ["x"], [0], [[0, 0, "inside"]])
+    assert augment_with_templates([bad], np.random.RandomState(0)) == []
+    for ts in REL_TEMPLATES.values():
+        for t in ts:
+            assert "{a}" in t.split() and "{b}" in t.split()
+
+
 def test_checkpoint_discovery_requires_params(tmp_path, monkeypatch):
     """Fresh-checkout shape: best.json is committed metadata but the orbax
     params dir is gitignored.  Discovery must NOT return a metadata-only
