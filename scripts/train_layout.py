@@ -92,6 +92,7 @@ def main():
 
     logger = get_logger("train_layout")
     rng = np.random.RandomState(0)
+    sta = None  # resolved sta_dict path once anchors are attached
     if args.synthetic:
         examples = synthetic_examples(512, rng)
     elif args.vg_instances:
@@ -106,12 +107,16 @@ def main():
         if args.abs_stats != "none":
             from diffusion_spacetime_attn_tpu.training.datasets import (
                 COCO_STA_DEFAULT,
-                attach_sampled_abs_targets,
             )
 
-            sta = (COCO_STA_DEFAULT if args.abs_stats == "default"
-                   else args.abs_stats)
-            if os.path.exists(sta):
+            cand = (COCO_STA_DEFAULT if args.abs_stats == "default"
+                    else args.abs_stats)
+            if os.path.exists(cand):
+                from diffusion_spacetime_attn_tpu.training.datasets import (
+                    attach_sampled_abs_targets,
+                )
+
+                sta = cand
                 examples = attach_sampled_abs_targets(
                     examples, sta, np.random.RandomState(1))
                 print(f"attached sampled absolute anchors from {sta}")
@@ -138,6 +143,17 @@ def main():
 
         aug = augment_with_templates(
             train, np.random.RandomState(2), variants=args.augment_templates)
+        if sta:
+            # hinge-only augmented rows dilute the GMM-NLL supervision and
+            # the shared head diverges to NaN within epochs (measured
+            # 2026-08-19: nll 240→1150→nan in 6 epochs at the gpt3 recipe)
+            # — give them the same relation-repaired sampled anchors
+            from diffusion_spacetime_attn_tpu.training.datasets import (
+                attach_sampled_abs_targets,
+            )
+
+            aug = attach_sampled_abs_targets(
+                aug, sta, np.random.RandomState(3))
         train = train + aug
         logger.info(f"template augmentation: +{len(aug)} examples "
                     f"({args.augment_templates} variants/relation)")
