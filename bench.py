@@ -194,6 +194,11 @@ def bench_once(mode, sampler, steps, batch, dtype, flash, q_chunk,
         baseline = GPU_REFERENCE_IMG_PER_MIN
         baseline_kind = "vanilla"
     value = 60.0 / per_image
+    # repeat statistics (VERDICT r4 weak #2: a single min over 3 repeats
+    # hides tunnel-interference outliers — report min/median/spread so a
+    # noisy round is self-describing)
+    srt = sorted(times)
+    median_call = srt[len(srt) // 2]
     line = {
         "metric": metric,
         "value": round(value, 3),
@@ -201,6 +206,10 @@ def bench_once(mode, sampler, steps, batch, dtype, flash, q_chunk,
         "vs_baseline": round(value / baseline, 3),
         "baseline_assumed": baseline,
         "baseline_kind": baseline_kind,
+        "repeats": len(times),
+        "min_s_per_call": round(min(times), 3),
+        "median_s_per_call": round(median_call, 3),
+        "spread_pct": round(100.0 * (max(times) - min(times)) / min(times), 1),
         **extra,
     }
     if mode == "spacetime":

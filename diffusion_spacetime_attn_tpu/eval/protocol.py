@@ -46,17 +46,29 @@ CLIP_DETECTOR_CAVEAT = (
 
 
 def list_result_files(
-    results_dir: str, prompt_range: Optional[Sequence[int]] = None
+    results_dir: str,
+    prompt_range: Optional[Sequence[int]] = None,
+    epoch: Optional[int] = None,
+    seed: Optional[int] = None,
 ) -> List[str]:
     """Result images in reference naming (`final*_s*_index_*.png`), sorted.
 
     `prompt_range=(lo, hi)` keeps only indices in [lo, hi) — outdirs are
     reused across runs (`run_dataset.py` resumes, never clears), so a
     scorer that globs everything would silently fold a previous run's
-    stale images into this run's denominators."""
+    stale images into this run's denominators.
+
+    `epoch` / `seed` filter on the `final{epoch}_s{seed}_` prefix exactly
+    like the reference scorer (`detector_result_gpt.py:144` keeps only
+    `"final2_s1_"`) — required when runners save per-epoch intermediates
+    (`--save-epochs`), which would otherwise multiply the denominators."""
     files = sorted(
         f for f in os.listdir(results_dir) if result_index(f) is not None
     )
+    if epoch is not None:
+        files = [f for f in files if f.startswith(f"final{epoch}_")]
+    if seed is not None:
+        files = [f for f in files if f"_s{seed}_" in f]
     if prompt_range is not None:
         lo, hi = prompt_range
         files = [f for f in files if lo <= result_index(f) < hi]
@@ -203,12 +215,15 @@ def score_results(
     conf_recall: float = 0.4,
     conf_relation: float = 0.5,
     prompt_range: Optional[Sequence[int]] = None,
+    epoch: Optional[int] = None,
+    seed: Optional[int] = None,
 ) -> dict:
     """Protocol math over a detections mapping (reference thresholds:
     conf 0.4 for recall `detector_result_gpt.py:115`, 0.5 for relations
-    `relation_result_gpt.py:95-110`)."""
+    `relation_result_gpt.py:95-110`; epoch/seed filter =
+    `detector_result_gpt.py:144`'s "final2_s1_" keep-rule)."""
     gt_objects, gt_relations = load_ground_truth(dataset, data_root)
-    files = list_result_files(results_dir, prompt_range)
+    files = list_result_files(results_dir, prompt_range, epoch=epoch, seed=seed)
     dets, objs, rels = [], [], []
     for f in files:
         idx = result_index(f)
@@ -243,6 +258,8 @@ def clip_score_results(
     clip_loss,
     tokenize,
     prompt_range: Optional[Sequence[int]] = None,
+    epoch: Optional[int] = None,
+    seed: Optional[int] = None,
 ) -> dict:
     """Mean CLIP fidelity over (image, prompt) pairs — the BASELINE.json
     north-star metric (reference computes it inside the method at
@@ -255,7 +272,7 @@ def clip_score_results(
         prompts = parse_gpt_prompts(os.path.join(data_root, "gpt.txt"))
     else:
         prompts = parse_line_prompts(os.path.join(data_root, f"{dataset}.txt"))
-    files = list_result_files(results_dir, prompt_range)
+    files = list_result_files(results_dir, prompt_range, epoch=epoch, seed=seed)
     scores = []
     for f in files:
         idx = result_index(f)

@@ -88,12 +88,15 @@ class BatchedRunner:
             # the reference saves during the FINAL epoch's forward, before
             # the last optimizer step (`plms.py:280-288`) — so the last
             # epoch runs forward-only (identical image, one backward saved)
-            for _ in range(cfg.epochs - 1):
+            epoch_images = {}
+            for e in range(cfg.epochs - 1):
                 coef, opt_state, loss, images = train_step(
                     params, coef, opt_state, batch
                 )
+                if r.save_epoch_images:
+                    epoch_images[e] = images
             _, images = final_forward(params, coef, batch)
-            return images
+            return images, epoch_images
         from ..ops.attention import SpatialControl
 
         control = None
@@ -111,7 +114,7 @@ class BatchedRunner:
             batch.cond, batch.uncond, cfg.guidance_scale, control, coef
         )
         z = r.sd.sample_from(eps, batch.x_T, r.sampler, remat=False)
-        return r.sd.decode_latents(z)
+        return r.sd.decode_latents(z), {}
 
     def run(
         self,
@@ -155,7 +158,7 @@ class BatchedRunner:
             batch = r.assemble_inputs(hosts, seed)
             if self.mesh is not None:
                 batch = shard_batch(self.mesh, batch)
-            images = self._launch(batch, train_ctx)     # async dispatch
+            images, epoch_images = self._launch(batch, train_ctx)  # async
             if ci + 1 < len(chunks):                    # overlaps device work
                 next_hosts, next_ok = self._prep_chunk(prompts, chunks[ci + 1])
             images = np.asarray(images)                 # sync point
@@ -170,6 +173,11 @@ class BatchedRunner:
                     ),
                 )
                 produced += 1
+            for e, imgs in epoch_images.items():        # --save-epochs only
+                for img, idx in zip(np.asarray(imgs), ok_idx):
+                    if idx is not None:
+                        save_image(img, os.path.join(
+                            r.outdir, f"final{e}_s{seed}_index_{idx}.png"))
             if log:
                 log.log(
                     "batch_done", first=chunk[0], n=len(chunk),

@@ -143,10 +143,16 @@ class LayoutInference:
     word-aligned tokenizer (reference `inference_coco.py:486-544`).
     """
 
-    def __init__(self, model, params, tokenizer, max_len: int = 128):
+    def __init__(self, model, params, tokenizer, max_len: Optional[int] = None):
         self.model = model
         self.params = params
         self.tokenizer = tokenizer
+        # Default to the model's OWN max_len: load_layout_predictor rebuilds
+        # the config from the checkpoint's config.json, so a caller-side cfg
+        # can be stale (silently truncating/mis-padding on checkpoints
+        # trained with non-default max_len).
+        if max_len is None:
+            max_len = getattr(getattr(model, "cfg", None), "max_len", 128)
         self.max_len = max_len
         self._jit_forward = jax.jit(
             lambda params, tokens, object_pos: model.apply(

@@ -76,6 +76,9 @@ class PromptRunner:
     mode: str = "spacetime"  # vanilla | spatial | spacetime
     sampler: str = "plms"    # plms | ddim | dpm — all three work in every
                              # mode (unlike the reference, SURVEY §2.1)
+    save_epoch_images: bool = False  # also save final{0..epochs-2}_… per
+                             # epoch (reference saves EVERY epoch's image,
+                             # `plms.py:280-288`; eval filters on the last)
     _cached_uncond: Optional[jnp.ndarray] = None
     _train_step: object = None
     _optimizer: object = None
@@ -199,10 +202,20 @@ class PromptRunner:
                 self._final_forward = make_final_forward(
                     self.sd, self.clip_loss, self.cfg, sampler=self.sampler
                 )
+            on_epoch = None
+            if self.save_epoch_images:
+                def on_epoch(e, imgs, _idx=idx, _seed=seed):
+                    if e < self.cfg.epochs - 1:  # last epoch saved below
+                        save_image(
+                            np.asarray(imgs[0]),
+                            os.path.join(
+                                self.outdir,
+                                f"final{e}_s{_seed}_index_{_idx}.png"),
+                        )
             images, _, _ = optimize_prompt(
                 self.sd, self.clip_loss, inputs, self.cfg, sampler=self.sampler,
                 train_step=self._train_step, optimizer=self._optimizer,
-                final_forward=self._final_forward,
+                final_forward=self._final_forward, on_epoch=on_epoch,
             )
         img = np.asarray(images[0])
         save_image(

@@ -153,6 +153,7 @@ def optimize_prompt(
     optimizer=None,
     final_forward=None,
     final_forward_only: bool = True,
+    on_epoch=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Any]:
     """Full 3-epoch optimization; returns (final images, coef, losses).
 
@@ -165,6 +166,11 @@ def optimize_prompt(
     (identical image, one full backward skipped); the returned `coef` is
     then the one that PRODUCED the image.  Pass `final_forward_only=False`
     for the reference's literal do-the-dead-update behavior.
+
+    `on_epoch(e, images)` — optional callback fired with every epoch's
+    decoded images (the reference saves `final{e}_s{seed}_index_{i}.png`
+    for EVERY epoch, `plms.py:280-288`; runners use this to reproduce
+    that artifact contract behind a flag).
     """
     if train_step is None:
         optimizer, train_step = make_train_step(sd, clip_loss, cfg, optimizer, sampler)
@@ -174,12 +180,16 @@ def optimize_prompt(
     losses = []
     images = None
     n_train = cfg.epochs - 1 if final_forward_only else cfg.epochs
-    for _ in range(n_train):
+    for e in range(n_train):
         coef, opt_state, loss, images = train_step(params, coef, opt_state, inputs)
         losses.append(loss)
+        if on_epoch is not None:
+            on_epoch(e, images)
     if final_forward_only:
         if final_forward is None:
             final_forward = make_final_forward(sd, clip_loss, cfg, sampler)
         loss, images = final_forward(params, coef, inputs)
         losses.append(loss)
+        if on_epoch is not None:
+            on_epoch(cfg.epochs - 1, images)
     return images, coef, jnp.stack(losses)

@@ -103,7 +103,7 @@ def main():
 
     def run(label, ckpt_path):
         model, params = load_layout_predictor(cfg, ckpt_path)
-        infer = LayoutInference(model, params, tok, max_len=cfg.max_len)
+        infer = LayoutInference(model, params, tok)
         print(f"[{label}] predicting layouts for {len(prompts)} prompts "
               f"(weights: {ckpt_path or 'random'})", flush=True)
         centers = predict_all(infer, prompts)

@@ -123,7 +123,7 @@ def run_drill(
     lcfg = layout_cfg or LayoutConfig()
     lmodel, lparams = load_layout_predictor(lcfg, layout_ckpt)
     rtok = make_roberta_tokenizer()
-    layout = LayoutInference(lmodel, lparams, rtok, max_len=lcfg.max_len)
+    layout = LayoutInference(lmodel, lparams, rtok)
 
     if tokenize_fn is not None:
         tokenize = tokenize_fn

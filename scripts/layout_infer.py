@@ -42,7 +42,7 @@ def main():
     cfg = LayoutConfig()
     model, params = load_layout_predictor(cfg, args.ckpt)
     tok = make_roberta_tokenizer(args.vocab, args.merges)
-    infer = LayoutInference(model, params, tok, max_len=cfg.max_len)
+    infer = LayoutInference(model, params, tok)
     print(f"Sentence: {args.sentence}")
     res = infer(args.sentence)
     if res is None:

@@ -58,6 +58,10 @@ def main():
                          "see docs/BENCHMARKS.md round 4 for the numerics "
                          "A/B)")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--save-epochs", action="store_true",
+                    help="also save intermediate final{0..epochs-2}_… images "
+                         "(the reference saves EVERY optimization epoch's "
+                         "image, plms.py:280-288; eval filters on the last)")
     ap.add_argument(
         "--batch-size", type=int, default=1,
         help=">1 packs prompts into fixed-shape device batches (one compile)",
@@ -201,7 +205,7 @@ def main():
         if args.layout_ckpt:
             print(f"using trained layout checkpoint: {args.layout_ckpt}")
     lmodel, lparams = load_layout_predictor(lcfg, args.layout_ckpt)
-    layout = LayoutInference(lmodel, lparams, make_roberta_tokenizer(), lcfg.max_len)
+    layout = LayoutInference(lmodel, lparams, make_roberta_tokenizer())
     ctok = make_clip_tokenizer(args.clip_vocab, max_len=cfg.text_encoder.max_len)
     tokenize = (
         ctok.tokenize if hasattr(ctok, "tokenize")
@@ -211,7 +215,7 @@ def main():
         sd=sd, clip_loss=clip_loss, layout=layout,
         clip_tokenize=tokenize, text_tokenize=tokenize,
         cfg=cfg.spacetime, outdir=args.outdir, mode=args.mode,
-        sampler=args.sampler,
+        sampler=args.sampler, save_epoch_images=args.save_epochs,
     )
 
     manifest_path = os.path.join(args.outdir, f"manifest_{args.dataset}.json")

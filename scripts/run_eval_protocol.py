@@ -60,11 +60,23 @@ def main():
     ap.add_argument("--top-per-category", type=int, default=1)
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model configs end to end (CPU protocol test)")
+    ap.add_argument("--save-epochs", action="store_true",
+                    help="save per-epoch intermediates during generation "
+                         "(reference plms.py:280-288 contract); the scorer "
+                         "still filters to the LAST epoch, like "
+                         "detector_result_gpt.py:144")
+    ap.add_argument("--epochs", type=int, default=None,
+                    help="optimization epochs used by generation (default: "
+                         "SpaceTimeConfig default 3, or 2 with --tiny); the "
+                         "scorer filters on final{epochs-1}_s{seed}_")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.params_dtype is None:
         args.params_dtype = (
             "bfloat16" if args.mode == "spacetime" else "float32")
+    if args.epochs is None:
+        args.epochs = 2 if args.tiny else 3  # run_dataset's SpaceTimeConfig
+    last_epoch = args.epochs - 1
 
     artifact = {
         "protocol": "generate->detect->score",
@@ -94,6 +106,8 @@ def main():
             cmd += ["--clip-ckpt", args.clip_ckpt]
         if args.tiny:
             cmd += ["--tiny"]
+        if args.save_epochs:
+            cmd += ["--save-epochs"]
         if args.cpu:
             cmd += ["--cpu"]
         print("+", " ".join(cmd), flush=True)
@@ -120,9 +134,13 @@ def main():
 
     # filter to THIS run's [start, end): outdirs are resumable/reused, and
     # stale images from a previous run must not enter the denominators
-    files = protocol.list_result_files(args.outdir, (args.start, args.end))
+    # reference scorer keeps only the LAST epoch + this seed
+    # (`detector_result_gpt.py:144` filters "final2_s1_")
+    files = protocol.list_result_files(
+        args.outdir, (args.start, args.end), epoch=last_epoch, seed=args.seed)
     print(f"{len(files)} generated images in {args.outdir} "
-          f"(indices [{args.start}, {args.end}))")
+          f"(indices [{args.start}, {args.end}), "
+          f"filter final{last_epoch}_s{args.seed}_)")
     if not files:
         raise SystemExit("no result images — generation produced nothing")
 
@@ -143,16 +161,26 @@ def main():
     artifact["detect_seconds"] = round(time.perf_counter() - t0, 1)
     artifact["detector"] = "clip-grid (calibrated approximation)"
     artifact["detector_weights"] = provenance
-    artifact["detector_calibration"] = {
-        "oracle_recall_iou50": 0.95, "random_floor_recall_iou50": 0.0,
-        "source": "scripts/calibrate_clip_detector.py",
-    }
+    # calibration numbers come from the COMMITTED calibration artifact
+    # (scripts/calibrate_clip_detector.py --sweep --out …) so they cannot
+    # silently go stale if detector scales/refinement change (ADVICE r4)
+    calib_path = os.path.join(REPO, "DETECTOR_CALIBRATION.json")
+    if os.path.isfile(calib_path):
+        calib = json.load(open(calib_path))["headline"]
+        artifact["detector_calibration"] = {
+            "oracle_recall_iou50": calib["oracle_recall_iou50"],
+            "random_floor_recall_iou50": calib["random_recall_iou50"],
+            "source": "DETECTOR_CALIBRATION.json "
+                      "(scripts/calibrate_clip_detector.py --sweep)",
+        }
+    else:
+        artifact["detector_calibration"] = {"uncalibrated": True}
     artifact["detections_json"] = det_path
 
     # ---- phase 3: protocol math + CLIP fidelity ----
     scores = protocol.score_results(
         args.outdir, args.dataset, args.data_root, detections,
-        prompt_range=(args.start, args.end),
+        prompt_range=(args.start, args.end), epoch=last_epoch, seed=args.seed,
     )
     artifact.update(scores)
     print(f"object recall: {scores['object_recall']:.4f} "
@@ -165,7 +193,7 @@ def main():
         args.clip_ckpt, cfg=tiny_clip_cfg() if args.tiny else None)
     cs = protocol.clip_score_results(
         args.outdir, args.dataset, args.data_root, clip_loss, tokenize,
-        prompt_range=(args.start, args.end))
+        prompt_range=(args.start, args.end), epoch=last_epoch, seed=args.seed)
     artifact.update(cs)
     artifact["clip_score_weights"] = cs_prov
     print(f"mean CLIP score: {cs['mean_clip_score']} over {cs['n_scored']}")

@@ -109,7 +109,7 @@ def main():
     lcfg = LayoutConfig()
     lmodel, lparams = load_layout_predictor(lcfg, args.layout_ckpt)
     rtok = make_roberta_tokenizer()
-    layout = LayoutInference(lmodel, lparams, rtok, max_len=lcfg.max_len)
+    layout = LayoutInference(lmodel, lparams, rtok)
 
     ctok = make_clip_tokenizer(args.clip_vocab)
     if hasattr(ctok, "tokenize"):

@@ -227,3 +227,51 @@ def test_compare_outputs_drift_tool(tmp_path):
     assert abs(s["worst_mae"] - expected) < 1e-6
     assert s["mean_mae"] == pytest.approx(expected / 2, abs=1e-6)
     assert s["worst_maxdiff"] == pytest.approx(3 / 255.0, abs=1e-6)
+
+
+def test_list_result_files_epoch_seed_filter(tmp_path):
+    """Per-epoch intermediates (`--save-epochs`) must not leak into the
+    scorer: the reference keeps only `final2_s1_` (`detector_result_gpt.py:144`)."""
+    from diffusion_spacetime_attn_tpu.eval.protocol import list_result_files
+
+    names = [
+        "final0_s1_index_0.png", "final1_s1_index_0.png",
+        "final2_s1_index_0.png", "final2_s1_index_1.png",
+        "final2_s7_index_2.png", "not_a_result.png",
+    ]
+    for n in names:
+        (tmp_path / n).write_bytes(b"")
+    assert list_result_files(str(tmp_path)) == sorted(names[:5])
+    assert list_result_files(str(tmp_path), epoch=2, seed=1) == [
+        "final2_s1_index_0.png", "final2_s1_index_1.png"]
+    assert list_result_files(str(tmp_path), epoch=2, seed=7) == [
+        "final2_s7_index_2.png"]
+    assert list_result_files(str(tmp_path), (0, 1), epoch=2, seed=1) == [
+        "final2_s1_index_0.png"]
+
+
+def test_save_epochs_writes_per_epoch_images(tmp_path):
+    """`--save-epochs` reproduces the reference's per-epoch artifact
+    contract (`plms.py:280-288` saves final{0,1,2}); the one-command
+    protocol still scores ONLY the last epoch."""
+    (tmp_path / "gpt.txt").write_text(GPT_TXT)
+    out = tmp_path / "results"
+    art = tmp_path / "EVAL_tiny.json"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "scripts/run_eval_protocol.py", "--dataset", "gpt",
+         "--data-root", str(tmp_path), "--end", "2", "--steps", "2",
+         "--batch-size", "2", "--sampler", "dpm", "--outdir", str(out),
+         "--out", str(art), "--tiny", "--cpu", "--save-epochs"],
+        capture_output=True, text=True, timeout=900, cwd=REPO, env=env,
+    )
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-3000:])
+    files = sorted(f for f in os.listdir(out) if f.endswith(".png"))
+    # tiny config: epochs=2 → final0 (epoch-0 forward) + final1 (saved last)
+    assert files == [
+        "final0_s1_index_0.png", "final0_s1_index_1.png",
+        "final1_s1_index_0.png", "final1_s1_index_1.png"]
+    a = json.load(open(art))
+    assert a["n_images"] == 2  # only the last epoch enters the denominators
+    # calibration now sourced from the committed artifact (ADVICE r4)
+    assert "DETECTOR_CALIBRATION.json" in a["detector_calibration"]["source"]
