@@ -150,6 +150,12 @@ class VAETrainer:
         """images [B,H,W,3] in [-1,1]."""
         return self._step(state, images, rng)
 
+    def make_step(self):
+        """The raw (un-jitted) step fn — for callers that fold many steps
+        into one program (e.g. lax.scan chunks amortizing per-dispatch
+        tunnel latency; scripts/train_testbed.py)."""
+        return self._make_step()
+
     # ---- internals ----
     def _reconstruct(self, ae_params, images, rng):
         z = self.vae.apply({"params": ae_params}, images, rng,
