@@ -122,12 +122,18 @@ class BatchedRunner:
         indices: Optional[List[int]] = None,
         seed: int = 1,
         log=None,
+        on_chunk_done=None,
     ) -> int:
         """Software-pipelined sweep: while the device runs batch i, the host
         prepares batch i+1's layout/NLP (SURVEY §7: overlap the un-jittable
         frontend with TPU compute across the prompt stream).  jax's async
         dispatch provides the overlap — the only sync point is reading
-        batch i's images back."""
+        batch i's images back.
+
+        `on_chunk_done(chunk_indices)` fires after each chunk's images are
+        on disk — run_dataset.py checkpoints its resume manifest there, so a
+        killed sweep loses at most one batch (the reference's per-process
+        `start` bookkeeping, `txt2img-gpt.py:303`, is all-or-nothing)."""
         r = self.runner
         cfg = r.cfg
         indices = indices if indices is not None else list(range(len(prompts)))
@@ -183,6 +189,8 @@ class BatchedRunner:
                     "batch_done", first=chunk[0], n=len(chunk),
                     seconds=round(dt, 3),
                 )
+            if on_chunk_done is not None:
+                on_chunk_done(list(chunk))
             if ci + 1 < len(chunks):
                 hosts, ok_idx = next_hosts, next_ok
         return produced

@@ -235,9 +235,15 @@ def main():
 
         br = BatchedRunner(runner, batch_size=args.batch_size)
         t0 = time.perf_counter()
-        produced = br.run(prompts, indices=todo, seed=args.seed, log=log)
-        done.update(todo)
-        json.dump({"done": sorted(done)}, open(manifest_path, "w"))
+
+        def checkpoint(chunk):
+            # per-chunk manifest update: a killed sweep resumes losing at
+            # most one batch
+            done.update(chunk)
+            json.dump({"done": sorted(done)}, open(manifest_path, "w"))
+
+        produced = br.run(prompts, indices=todo, seed=args.seed, log=log,
+                          on_chunk_done=checkpoint)
         log.log("sweep_done", produced=produced,
                 seconds=round(time.perf_counter() - t0, 3))
     else:
