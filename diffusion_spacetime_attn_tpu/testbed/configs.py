@@ -89,15 +89,17 @@ def smoke_pipeline_cfg(num_steps: int = 6) -> PipelineConfig:
     """Miniature of the miniature: CPU-smoke-tier shapes for tests.
 
     Keeps every geometric contract of the testbed (image 32 → global_resize
-    14 = CLIP image size, latent 8, crop 12) at test-suite cost."""
+    14 = CLIP image size, latent 8, crop 12) at test-suite cost.  Channel
+    widths stay multiples of 32 — GroupNorm32 (models/layers.py:42) is
+    fixed at 32 groups for reference weight compatibility."""
     return PipelineConfig(
         unet=UNetConfig(
-            in_channels=4, out_channels=4, model_channels=16,
+            in_channels=4, out_channels=4, model_channels=32,
             channel_mult=(1, 2), num_res_blocks=1,
             attention_resolutions=(1, 2), num_heads=2, context_dim=32,
         ),
         vae=VAEConfig(
-            ch=16, ch_mult=(1, 2, 4), num_res_blocks=1, z_channels=4,
+            ch=32, ch_mult=(1, 2, 4), num_res_blocks=1, z_channels=4,
             embed_dim=4, resolution=32, scale_factor=1.0,
         ),
         text_encoder=dataclasses.replace(

@@ -60,6 +60,10 @@ _SMOKE = {
     "test_loader.py::test_image_paths_dataset_lsun_semantics",
     "test_aux.py::test_watermark_roundtrip",
     "test_aux.py::test_scripts_dir_shadows_no_stdlib_module",
+    "test_testbed.py::test_oracle_near_perfect_on_clean_scenes",
+    "test_testbed.py::test_training_caption_relation_is_uninformative",
+    "test_testbed.py::test_gt_layout_satisfies_protocol_relation_rule",
+    "test_testbed.py::test_method_eval_loop_smoke",
 }
 
 
