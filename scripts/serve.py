@@ -62,6 +62,17 @@ def main():
                          "the engine (varying prompts+seeds), print one "
                          "JSON line per batch and a summary, then exit — "
                          "the zero-OOM serving soak (docs/SERVING.md)")
+    ap.add_argument("--loadtest", type=int, default=None, metavar="N",
+                    help="after warmup, run the open-loop tail-latency load "
+                         "test (serving/loadtest.py): N requests per rate "
+                         "stage through the BatchingService, print the "
+                         "p50/p95/p99 + queue-depth + saturation artifact "
+                         "as JSON, then exit (docs/SERVING.md)")
+    ap.add_argument("--loadtest-fractions", default="0.5,0.8,1.0,1.3",
+                    help="comma-separated offered-rate fractions of the "
+                         "measured single-batch capacity")
+    ap.add_argument("--loadtest-out", default=None,
+                    help="also write the loadtest artifact to this path")
     ap.add_argument("--watermark", default=None, help="payload to embed")
     ap.add_argument("--tiny", action="store_true", help="tiny model smoke mode")
     ap.add_argument("--cpu", action="store_true",
@@ -230,6 +241,28 @@ def main():
     logger.info("warmup done in %.1fs", engine.warmup())
     if args.warmup_only:
         logger.info("--warmup-only: compile cache populated, exiting")
+        return
+    if args.loadtest:
+        import json as _json
+
+        from diffusion_spacetime_attn_tpu.serving.loadtest import run_loadtest
+
+        artifact = run_loadtest(
+            engine,
+            capacity_fractions=tuple(
+                float(x) for x in args.loadtest_fractions.split(",")),
+            stage_requests=args.loadtest,
+            max_wait_s=args.max_wait,
+            max_queue=args.max_queue,
+            request_timeout_s=args.request_timeout,
+        )
+        artifact.update(mode=args.mode, sampler=args.sampler,
+                        params_dtype=params_dtype, steps=args.steps)
+        out = _json.dumps(artifact, indent=2)
+        print(out, flush=True)
+        if args.loadtest_out:
+            with open(args.loadtest_out, "w") as f:
+                f.write(out + "\n")
         return
     if args.soak:
         import json as _json

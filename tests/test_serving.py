@@ -377,3 +377,33 @@ def test_serve_cli_soak_with_bf16_params(tmp_path):
     assert summary["requests"] == 3
     assert summary["params_dtype"] == "bfloat16"
     assert len(lines) == 3  # batches of 2 + 1, then the summary line
+
+
+def test_loadtest_percentiles_and_saturation():
+    """run_loadtest (serving/loadtest.py) on a fake slow engine: the
+    sub-capacity stage completes cleanly with percentile stats; the
+    overload stage (small queue, open-loop arrivals faster than the engine
+    drains) must reject and be named the saturation rate."""
+    from diffusion_spacetime_attn_tpu.serving.loadtest import run_loadtest
+
+    engine = _SlowEngine(batch_size=2, delay=0.10)
+    art = run_loadtest(
+        engine,
+        capacity_fractions=(0.5, 4.0),
+        stage_requests=10,
+        max_wait_s=0.02,
+        max_queue=2,
+        depth_sample_s=0.02,
+        capacity_req_per_s=2 / 0.10,  # skip the measurement batches
+    )
+    assert art["capacity_req_per_s"] == 20.0
+    assert len(art["stages"]) == 2
+    calm, storm = art["stages"]
+    assert calm["rejected"] == 0
+    assert calm["completed"] == 10
+    lat = calm["latency_s"]
+    assert lat["p50"] is not None and lat["p50"] <= lat["p95"] <= lat["p99"]
+    # overload: 80 req/s offered into a queue of 2 at ~20 req/s drain
+    assert storm["rejected"] > 0
+    assert storm["queue_depth"]["max"] >= 1
+    assert art["saturation_req_per_s"] == storm["offered_req_per_s"]
