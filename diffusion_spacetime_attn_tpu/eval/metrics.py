@@ -128,11 +128,13 @@ def head_category(phrase: str) -> Optional[str]:
     """COCO category head of a noun phrase ('the silver bed' → 'bed'),
     longest-category-first, suffix then interior match
     (`relation_result_vsr.py:141-163` phrase→label convention)."""
-    from ..pipeline.frontend import COCO_CATEGORIES
+    from ..pipeline.frontend import CATEGORY_ALIASES, COCO_CATEGORIES
 
     low = phrase.lower()
-    for cat in sorted(COCO_CATEGORIES, key=len, reverse=True):
-        if low.endswith(cat) or f" {cat} " in f" {low} ":
+    names = [(cat, cat) for cat in COCO_CATEGORIES]
+    names += [(alias, cat) for alias, cat in CATEGORY_ALIASES.items()]
+    for name, cat in sorted(names, key=lambda e: len(e[0]), reverse=True):
+        if low.endswith(name) or f" {name} " in f" {low} ":
             return cat
     return None
 

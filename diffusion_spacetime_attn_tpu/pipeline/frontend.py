@@ -41,6 +41,32 @@ COCO_CATEGORIES = [
 ]
 
 
+# Common-usage synonyms mapped to their COCO category.  The reference builds
+# a WordNet synonym/plural set per category (`inference_coco.py:441-470`) but
+# its `check_in_mscoco` substring test never consults it — measured on the
+# benchmark prompts, that drops e.g. every "television" mention (gpt GT says
+# "tv").  The n-gram matcher honors the synonyms the reference collected.
+CATEGORY_ALIASES: Dict[str, str] = {
+    "television": "tv", "tv set": "tv",
+    "bike": "bicycle",
+    "motorbike": "motorcycle",
+    "aeroplane": "airplane", "plane": "airplane",
+    "sofa": "couch",
+    "cellphone": "cell phone", "mobile phone": "cell phone",
+    "doughnut": "donut",
+    "fridge": "refrigerator",
+    "hair dryer": "hair drier", "hairdryer": "hair drier",
+    "wineglass": "wine glass",
+}
+
+
+def canonical_category(name: str) -> str:
+    """Map a free-form object name to its COCO category when a known
+    synonym, else return it unchanged (lowercased)."""
+    low = name.strip().lower()
+    return CATEGORY_ALIASES.get(low, low)
+
+
 def _plural_forms(word: str) -> List[str]:
     if word.endswith(("s", "x", "z", "ch", "sh")):
         return [word + "es"]
@@ -91,9 +117,13 @@ def extract_objects(
     low = [w.lower() for w in words]
     taken = set()
     mentions = []
-    # longest categories first so "wine glass" wins over "glass"-less "cup"
-    for cat in sorted(categories, key=len, reverse=True):
-        cat_words = cat.split()
+    # name → canonical category, synonyms included (see CATEGORY_ALIASES)
+    entries = [(cat, cat) for cat in categories]
+    entries += [(alias, cat) for alias, cat in CATEGORY_ALIASES.items()
+                if cat in categories]
+    # longest names first so "wine glass" wins over "glass"-less "cup"
+    for name, cat in sorted(entries, key=lambda e: len(e[0]), reverse=True):
+        cat_words = name.split()
         variants = [cat_words]
         variants += [cat_words[:-1] + [p] for p in _plural_forms(cat_words[-1])]
         n = len(cat_words)

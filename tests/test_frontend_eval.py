@@ -43,6 +43,23 @@ def test_multiword_and_plural_categories():
     assert cats == ["dog", "traffic light", "wine glass"]
 
 
+def test_category_aliases():
+    """Synonyms the reference collects via WordNet (inference_coco.py:441-470)
+    resolve to the canonical COCO category; gpt GT uses 'tv' while its
+    captions say 'television'."""
+    _, m = extract_objects("The red television sat beside a sofa and a bike.")
+    cats = sorted(x.category for x in m)
+    assert cats == ["bicycle", "couch", "tv"]
+    assert "television" in m[0].phrase.lower()
+    assert head_category("the red television") == "tv"
+    # mscoco pkl GT names outside COCO stay as-is (un-extractable)
+    from diffusion_spacetime_attn_tpu.pipeline.frontend import (
+        canonical_category,
+    )
+    assert canonical_category("Bike") == "bicycle"
+    assert canonical_category("bathroom") == "bathroom"
+
+
 def test_relation_pass_matches_reference():
     # object1 center (5, 5), object2 center (10, 2)
     b1, b2 = (0, 0, 10, 10), (8, 0, 12, 4)
