@@ -144,15 +144,31 @@ def main():
         return np.asarray(1.0 - loss)
 
     # ---- run ----
+    # Each completed (batch, seed) cell is appended to <out>.partial.jsonl so
+    # a tunnel death mid-run resumes instead of redoing finished work (the
+    # axon tunnel can hang for hours; see docs/DESIGN.md).
     n_batches = (len(prompts) + B - 1) // B
+    partial_path = args.out + ".partial.jsonl"
     per_prompt = []  # one row per (seed, prompt): both arms' scores
+    done_cells = set()
+    if os.path.exists(partial_path):
+        with open(partial_path) as f:
+            for line in f:
+                cell = json.loads(line)
+                done_cells.add((cell["bi"], cell["seed"]))
+                per_prompt.extend(cell["rows"])
+        logger.info("resuming: %d cells already done", len(done_cells))
     t_van = t_met = 0.0
     for bi in range(n_batches):
+        if all((bi, s) in done_cells for s in range(args.seeds)):
+            continue
         bp = prompts[bi * B:(bi + 1) * B]
         pad = B - len(bp)
         bp_padded = bp + [bp[-1]] * pad
         inputs0 = embed_batch(bp_padded)
         for seed in range(args.seeds):
+            if (bi, seed) in done_cells:
+                continue
             key = jax.random.fold_in(
                 jax.random.fold_in(jax.random.PRNGKey(2025), seed), bi)
             x_T = jax.random.normal(key, (B, L, L, 4))
@@ -175,13 +191,18 @@ def main():
             m_rows = score(m_imgs, bp_padded)
             v_clip = clip_score(v_imgs, inputs.caption_tokens)
             m_clip = clip_score(m_imgs, inputs.caption_tokens)
+            cell_rows = []
             for i in range(len(bp)):
-                per_prompt.append({
+                cell_rows.append({
                     "seed": seed, "prompt": bp[i].caption,
                     "held_out": bp[i].held_out,
                     "vanilla": {**v_rows[i], "clip": float(v_clip[i])},
                     "method": {**m_rows[i], "clip": float(m_clip[i])},
                 })
+            per_prompt.extend(cell_rows)
+            with open(partial_path, "a") as f:
+                f.write(json.dumps({"bi": bi, "seed": seed,
+                                    "rows": cell_rows}) + "\n")
             if args.save_images and bi == 0 and seed == 0:
                 _save_grid(args.save_images, np.asarray(v_imgs),
                            np.asarray(m_imgs), bp)
@@ -245,6 +266,8 @@ def main():
     }
     with open(args.out, "w") as f:
         json.dump(artifact, f, indent=2)
+    if os.path.exists(partial_path):
+        os.remove(partial_path)
     o = artifact["overall"]
     logger.info("DONE -> %s", args.out)
     logger.info("vanilla: %s", o["vanilla"])
