@@ -190,6 +190,10 @@ class LayoutTrainConfig:
     decay_steps: int = 100000
     gmm_loss_weight: float = 0.1        # `Pretrain.py:262-266`
     hinge_margin: float = 0.2           # `loss.py:315-333`
+    grad_clip_norm: float = 0.0         # 0 = off (reference has none);
+                                        # >0 clips global grad norm so a
+                                        # finite-but-huge step can't blow
+                                        # params up to NaN mid-schedule
     checkpoint_every: int = 10          # epochs
 
 

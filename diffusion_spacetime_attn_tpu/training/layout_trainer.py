@@ -51,6 +51,8 @@ def make_optimizer(
         },
         labels,
     )
+    if cfg.grad_clip_norm > 0:
+        opt = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), opt)
     if skip_nonfinite:
         # failure detection: skip (don't apply) non-finite update steps —
         # the principled version of the reference's bare

@@ -56,6 +56,9 @@ def main():
     ap.add_argument("--random-baseline", action="store_true",
                     help="also score randomly-initialized weights (~0.5)")
     ap.add_argument("--out", default=None, help="artifact JSON path")
+    ap.add_argument("--breakdown", action="store_true",
+                    help="add per-relation-type stats + failure samples to "
+                         "the artifact (trained weights only)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -113,7 +116,31 @@ def main():
               f" evaluated of {scores['relations_total']} GT relations; "
               f"object coverage {scores['relation_object_coverage']:.3f})",
               flush=True)
-        return {"weights": ckpt_path or "random", **scores}
+        out = {"weights": ckpt_path or "random", **scores}
+        if args.breakdown and label == "trained":
+            by_rel, failures = {}, []
+            for prompt, cen, rels in zip(prompts, centers, gt_relations):
+                cen = cen or {}
+                for o1, o2, rel in rels:
+                    d = by_rel.setdefault(rel, {"sat": 0, "viol": 0,
+                                                "uneval": 0})
+                    if o1 not in cen or o2 not in cen:
+                        d["uneval"] += 1
+                        continue
+                    c1, c2 = cen[o1], cen[o2]
+                    ok = metrics.relation_pass(
+                        rel, (c1[0], c1[1], c1[0], c1[1]),
+                        (c2[0], c2[1], c2[0], c2[1]))
+                    d["sat" if ok else "viol"] += 1
+                    if not ok and len(failures) < 40:
+                        failures.append({
+                            "prompt": prompt, "rel": f"{o1} {rel} {o2}",
+                            "c1": [round(float(v), 3) for v in c1[:2]],
+                            "c2": [round(float(v), 3) for v in c2[:2]],
+                        })
+            out["by_relation"] = by_rel
+            out["failure_sample"] = failures
+        return out
 
     artifact["trained"] = run("trained", ckpt)
     if args.random_baseline:

@@ -46,6 +46,12 @@ def main():
                     help="N template paraphrases per supervised relation "
                          "added to the TRAIN split (plain copula phrasings; "
                          "datasets.augment_with_templates)")
+    ap.add_argument("--margin", type=float, default=None,
+                    help="hinge margin (default cfg 0.2)")
+    ap.add_argument("--gmm-weight", type=float, default=None,
+                    help="GMM-NLL loss weight (default cfg 0.1)")
+    ap.add_argument("--grad-clip", type=float, default=None,
+                    help="global grad-norm clip (default off)")
     ap.add_argument("--select-metric", choices=["val_loss", "rel_satisfied"],
                     default="val_loss",
                     help="best-checkpoint criterion: val_loss = reference "
@@ -172,7 +178,10 @@ def main():
                      ("head_max_lr", args.head_lr),
                      ("warmup_steps", args.warmup),
                      ("hold_steps", args.hold),
-                     ("decay_steps", args.decay)):
+                     ("decay_steps", args.decay),
+                     ("hinge_margin", args.margin),
+                     ("gmm_loss_weight", args.gmm_weight),
+                     ("grad_clip_norm", args.grad_clip)):
         if ov is not None:
             overrides[name] = ov
     if overrides:
