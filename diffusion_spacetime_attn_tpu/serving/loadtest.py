@@ -106,8 +106,21 @@ def run_loadtest(
                               max_queue=max_queue,
                               request_timeout_s=request_timeout_s).start()
         lock = threading.Lock()
-        pending = []  # (submit_time, future)
+        pending = []  # futures, for the drain barrier
         stop_monitor = threading.Event()
+
+        def on_done(fut, t0):
+            # latency is recorded HERE, at future resolution (worker
+            # thread), not in the drain loop — draining happens after all
+            # submissions, so measuring there would fold the remaining
+            # stage wall clock into every request's latency
+            dt = time.perf_counter() - t0
+            with lock:
+                if fut.exception() is None:
+                    res.latencies_s.append(dt)
+                    res.completed += 1
+                else:
+                    res.timed_out += 1
 
         def monitor():
             while not stop_monitor.is_set():
@@ -124,24 +137,25 @@ def run_loadtest(
                 time.sleep(next_t - now)
             next_t += interval  # open loop: schedule is absolute
             res.submitted += 1
+            t0 = time.perf_counter()
             try:
                 fut = svc.submit(_PROMPTS[i % len(_PROMPTS)], seed=1000 + i)
             except ServiceSaturated:
                 res.rejected += 1
                 continue
-            with lock:
-                pending.append((time.perf_counter(), fut))
-        # drain: wait for all accepted requests to resolve
+            fut.add_done_callback(lambda f, t0=t0: on_done(f, t0))
+            pending.append(fut)
+        # drain barrier: block until every accepted request has resolved
+        # (on_done recorded its latency at resolution time)
         deadline = time.time() + drain_timeout_s
-        for t0, fut in pending:
+        for fut in pending:
             try:
                 fut.result(timeout=max(deadline - time.time(), 0.001))
-                res.latencies_s.append(time.perf_counter() - t0)
-                res.completed += 1
-            except TimeoutError:
-                res.timed_out += 1
             except Exception:
-                res.timed_out += 1
+                if not fut.done():  # drain budget exhausted, still pending
+                    with lock:
+                        res.timed_out += 1
+                # else: counted by on_done
         stop_monitor.set()
         mon.join(timeout=2)
         svc.stop()

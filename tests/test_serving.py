@@ -403,6 +403,10 @@ def test_loadtest_percentiles_and_saturation():
     assert calm["completed"] == 10
     lat = calm["latency_s"]
     assert lat["p50"] is not None and lat["p50"] <= lat["p95"] <= lat["p99"]
+    # latency must be per-request service+queue time, NOT stage wall clock:
+    # at half capacity a 0.10s-batch engine serves each request well under
+    # the ~1s stage duration (regression test for the drain-loop timing bug)
+    assert lat["p99"] < 0.5
     # overload: 80 req/s offered into a queue of 2 at ~20 req/s drain
     assert storm["rejected"] > 0
     assert storm["queue_depth"]["max"] >= 1
