@@ -274,6 +274,62 @@ def attach_sampled_abs_targets(
     return out
 
 
+def close_relations_transitively(
+    examples: List[LayoutExample],
+    max_rels: int = 8,
+) -> List[LayoutExample]:
+    """Append transitively inferred relation triples to each example.
+
+    The deployed consistency protocol's gpt failures concentrate on
+    chained phrasings ("the dog is left of the horse, the horse is right
+    of the elephant" ⇒ GT "dog left of elephant"): gpt-3.pkl rows carry
+    only the surface triples, so the model never sees chain-implied
+    supervision.  Spatial relations are transitive per axis — normalize
+    each triple to its canonical direction ("below" ⇒ reversed "above",
+    "right of" ⇒ reversed "left of"), close each axis graph to fixpoint,
+    and append the inferred pairs as extra hinge supervision (capped at
+    `max_rels`, the fixed batch width).  Pairs whose inverse is also in
+    the closure (contradictory source triples) are skipped.  Relations
+    here are word-index triples, so the augmentation is purely
+    label-side — no eval text enters training.
+    """
+    out = []
+    for ex in examples:
+        have = {tuple(r) for r in ex.relations}
+        edges = {"above": set(), "left of": set()}
+        for i, j, rel in ex.relations:
+            if rel in edges:
+                edges[rel].add((i, j))
+            elif rel == "below":
+                edges["above"].add((j, i))
+            elif rel == "right of":
+                edges["left of"].add((j, i))
+        new_rels = [list(r) for r in ex.relations]
+        for rel, e in edges.items():
+            closure = set(e)
+            changed = True
+            while changed:  # tiny graphs (≤8 nodes): fixpoint iteration
+                changed = False
+                for a, b in list(closure):
+                    for c, d in list(closure):
+                        if b == c and a != d and (a, d) not in closure:
+                            closure.add((a, d))
+                            changed = True
+            inv = "below" if rel == "above" else "right of"
+            for a, b in sorted(closure - e):
+                if (b, a) in closure:  # contradictory chain — ambiguous
+                    continue
+                if (a, b, rel) in have or (b, a, inv) in have:
+                    continue
+                if len(new_rels) >= max_rels:
+                    break
+                new_rels.append([a, b, rel])
+                have.add((a, b, rel))
+        out.append(dataclasses.replace(ex, relations=new_rels)
+                   if len(new_rels) != len(ex.relations) else ex)
+    return out
+
+
 # Template paraphrases per relation, as word lists with {a}/{b} slots.
 # Plain copula syntax on purpose: gpt-3.pkl supervision is all long
 # descriptive prose, and the predictor's weakest phrasings in the deployed

@@ -50,6 +50,11 @@ def main():
                     help="hinge margin (default cfg 0.2)")
     ap.add_argument("--gmm-weight", type=float, default=None,
                     help="GMM-NLL loss weight (default cfg 0.1)")
+    ap.add_argument("--transitive-closure", action="store_true",
+                    help="append transitively inferred relation triples "
+                         "(datasets.close_relations_transitively) before "
+                         "anchor sampling — targets chained-relation "
+                         "failures in the gpt consistency protocol")
     ap.add_argument("--grad-clip", type=float, default=None,
                     help="global grad-norm clip (default off)")
     ap.add_argument("--select-metric", choices=["val_loss", "rel_satisfied"],
@@ -110,6 +115,16 @@ def main():
         print(f"loaded {len(examples)} VG-MSDN scene-graph examples")
     else:
         examples = load_gpt3_examples(args.gpt3_pkl)
+        if args.transitive_closure:
+            from diffusion_spacetime_attn_tpu.training.datasets import (
+                close_relations_transitively,
+            )
+
+            before = sum(len(e.relations) for e in examples)
+            examples = close_relations_transitively(examples)
+            added = sum(len(e.relations) for e in examples) - before
+            logger.info(f"transitive closure: +{added} inferred relation "
+                        "triples")
         if args.abs_stats != "none":
             from diffusion_spacetime_attn_tpu.training.datasets import (
                 COCO_STA_DEFAULT,

@@ -446,6 +446,59 @@ def test_template_augmentation():
             assert "{a}" in t.split() and "{b}" in t.split()
 
 
+def test_transitive_closure_augmentation():
+    """close_relations_transitively: infers chain-implied triples per axis,
+    respects mixed canonical/inverse phrasings, caps at max_rels, skips
+    contradictions, and leaves chain-free examples untouched (same
+    object)."""
+    from diffusion_spacetime_attn_tpu.training.datasets import (
+        LayoutExample,
+        close_relations_transitively,
+    )
+
+    # a left of b, b left of c  ⇒  a left of c
+    ex = LayoutExample(
+        caption="", words=["a", "b", "c"], object_word_idx=[0, 1, 2],
+        relations=[[0, 1, "left of"], [1, 2, "left of"]],
+    )
+    (out,) = close_relations_transitively([ex])
+    assert [0, 2, "left of"] in out.relations and len(out.relations) == 3
+
+    # inverse phrasing chains too: a left of b + c right of b ⇒ a left of c
+    ex2 = LayoutExample(
+        caption="", words=["a", "b", "c"], object_word_idx=[0, 1, 2],
+        relations=[[0, 1, "left of"], [2, 1, "right of"]],
+    )
+    (out2,) = close_relations_transitively([ex2])
+    assert [0, 2, "left of"] in out2.relations
+
+    # axes never mix: above+left of implies nothing
+    ex3 = LayoutExample(
+        caption="", words=["a", "b", "c"], object_word_idx=[0, 1, 2],
+        relations=[[0, 1, "above"], [1, 2, "left of"]],
+    )
+    (out3,) = close_relations_transitively([ex3])
+    assert out3 is ex3  # unchanged object, no copy
+
+    # contradictory cycle (a<b<c<a): no inferred pair survives
+    ex4 = LayoutExample(
+        caption="", words=["a", "b", "c"], object_word_idx=[0, 1, 2],
+        relations=[[0, 1, "left of"], [1, 2, "left of"], [2, 0, "left of"]],
+    )
+    (out4,) = close_relations_transitively([ex4])
+    assert out4 is ex4
+
+    # max_rels caps the appended triples
+    chain = [[i, i + 1, "above"] for i in range(5)]  # closure adds 10 more
+    ex5 = LayoutExample(
+        caption="", words=list("abcdef"), object_word_idx=list(range(6)),
+        relations=chain,
+    )
+    (out5,) = close_relations_transitively([ex5], max_rels=8)
+    assert len(out5.relations) == 8
+    assert out5.relations[:5] == chain  # originals kept, in order
+
+
 def test_checkpoint_discovery_requires_params(tmp_path, monkeypatch):
     """Fresh-checkout shape: best.json is committed metadata but the orbax
     params dir is gitignored.  Discovery must NOT return a metadata-only
