@@ -59,6 +59,12 @@ def main():
     ap.add_argument("--breakdown", action="store_true",
                     help="add per-relation-type stats + failure samples to "
                          "the artifact (trained weights only)")
+    ap.add_argument("--decode", choices=["relation", "greedy"],
+                    default="relation",
+                    help="'relation' = the deployed relation-aware GMM "
+                         "decode (frontend.extract_relations steers "
+                         "component choice); 'greedy' = the reference's "
+                         "argmax-component mean")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -102,11 +108,13 @@ def main():
         "prompts": [args.start, end],
         "pass_rule": "relation_result_gpt.py:95-110 center geometry",
         "chance_level": 0.5,
+        "decode": args.decode,
     }
 
     def run(label, ckpt_path):
         model, params = load_layout_predictor(cfg, ckpt_path)
-        infer = LayoutInference(model, params, tok)
+        infer = LayoutInference(model, params, tok,
+                                relation_aware=args.decode == "relation")
         print(f"[{label}] predicting layouts for {len(prompts)} prompts "
               f"(weights: {ckpt_path or 'random'})", flush=True)
         centers = predict_all(infer, prompts)

@@ -222,3 +222,119 @@ def test_optimizer_skips_nonfinite():
     assert all(
         np.asarray(u == 0).all() for u in jax.tree_util.tree_leaves(updates)
     )
+
+
+def test_extract_relations_constructions():
+    """Surface-relation extraction across the corpus's phrasing families
+    (gap cues, possessive clauses, pronoun objects, conjunction lists,
+    between-constructions, transitive closure)."""
+    from diffusion_spacetime_attn_tpu.pipeline.frontend import (
+        extract_relations,
+    )
+
+    def rels(s):
+        w, m = extract_objects(s)
+        return set(extract_relations(w, m))
+
+    # 1. gap cue between adjacent mentions
+    assert ("cat", "dog", "above") in rels("The cat is above the dog.")
+    assert ("bowl", "toilet", "below") in rels(
+        "The bowl was placed underneath the toilet.")
+    # 2. verb+on support cue binds tightly: next NP only
+    assert ("book", "bed", "above") in rels("The book was placed on the bed.")
+    assert ("person", "bowl", "above") not in rels(
+        "The person was lying on the ground, with the black bowl nearby.")
+    # 3. subordinate possessive: located = clause NP, possessor = subject
+    assert ("horse", "giraffe", "right of") in rels(
+        "The giraffe stood tall, with the horse grazing to its right.")
+    # 4. subject motion: possessor = nearest mention
+    assert ("bird", "elephant", "left of") in rels(
+        "The bird flew away from the elephant to its left.")
+    # 5. person pronoun possessor
+    assert ("bowl", "person", "left of") in rels(
+        "The person stood there, with the bowl positioned to their left.")
+    # 6. vertical + pronoun object ("above it" → previous clause's object)
+    assert ("knife", "bowl", "above") in rels(
+        "The bowl was placed on the counter, with the knife resting above it.")
+    # 7. "left of it" pronoun object
+    assert ("umbrella", "suitcase", "left of") in rels(
+        "The handbag is right of the suitcase, with a red umbrella "
+        "placed to the left of it.")
+    # 8. at their feet
+    assert ("mouse", "person", "below") in rels(
+        "The person sat at the desk, with the red mouse at their feet.")
+    # 9. conjunction extension across a coordinated NP list
+    r = rels("The cat is positioned beneath both the dog and the horse.")
+    assert ("cat", "dog", "below") in r and ("cat", "horse", "below") in r
+    # 10. between-construction: sides are relative to the subject
+    r = rels("A blue boat was parked between a car to its right and a "
+             "bicycle to its left.")
+    assert ("car", "boat", "right of") in r
+    assert ("bicycle", "boat", "left of") in r
+    # 11. transitive closure per axis
+    r = rels("The cup is left of the fork and the fork is left of the bowl.")
+    assert ("cup", "bowl", "left of") in r
+    # 12. hands are deliberately not extracted (corpus mirrors ~50/50)
+    assert not rels("The person held the remote in their right hand.")
+    # 13. no relations → empty, never crashes
+    assert rels("A cat and a dog.") == set()
+
+
+def test_relation_aware_decode_picks_satisfying_components():
+    """The relation-aware GMM decode chooses per-object components that
+    jointly satisfy extracted relations, and falls back to exactly the
+    greedy argmax-component mean when no relations are found."""
+    import jax
+
+    from diffusion_spacetime_attn_tpu.config import LayoutConfig
+    from diffusion_spacetime_attn_tpu.models.layout.model import (
+        create_layout_predictor,
+    )
+    from diffusion_spacetime_attn_tpu.pipeline.frontend import (
+        LayoutInference,
+    )
+    from diffusion_spacetime_attn_tpu.utils.tokenizer import (
+        make_roberta_tokenizer,
+    )
+
+    cfg = LayoutConfig(layers=1, heads=2)
+    model, params = create_layout_predictor(cfg, jax.random.PRNGKey(3))
+    tok = make_roberta_tokenizer(None, None)
+
+    rel_infer = LayoutInference(model, params, tok, relation_aware=True)
+    greedy = LayoutInference(model, params, tok, relation_aware=False)
+
+    # no relations in the sentence → identical to greedy decode
+    s0 = "A cat and a dog."
+    assert rel_infer(s0) == greedy(s0)
+
+    # with a relation: if ANY component pair satisfies it, the decode must
+    sent = "The cat is to the left of the dog."
+    res = rel_infer(sent)
+    cat = next(v for k, v in res.items() if "cat" in k)
+    dog = next(v for k, v in res.items() if "dog" in k)
+    # the chosen centers must be means of the model's own components
+    import numpy as np
+
+    from diffusion_spacetime_attn_tpu.models.layout.gmm_head import split_gmm
+
+    words, mentions = __import__(
+        "diffusion_spacetime_attn_tpu.pipeline.frontend",
+        fromlist=["extract_objects"]).extract_objects(sent)
+    ids, align = tok.encode_with_alignment(words)
+    tokens = np.asarray(tok.pad_to(ids, rel_infer.max_len), np.int32)[None]
+    opos = np.zeros((1, rel_infer.max_len), np.float32)
+    tidx = [align[m.word_index] for m in mentions]
+    for t in tidx:
+        opos[0, t] = 1.0
+    import jax.numpy as jnp
+
+    _, raw = rel_infer._jit_forward(
+        rel_infer.params, jnp.array(tokens), jnp.array(opos))
+    p = split_gmm(np.asarray(raw)[0][np.asarray(tidx)])
+    mx = np.asarray(p.mu_x)
+    satisfiable = (mx[0][:, None] < mx[1][None, :]).any()
+    if satisfiable:
+        assert cat[0] < dog[0], "decode left a satisfiable relation unmet"
+    for n, c in ((0, cat), (1, dog)):
+        assert any(abs(float(mx[n, k]) - c[0]) < 1e-6 for k in range(5))
